@@ -1,0 +1,199 @@
+package graft
+
+import graft.features.FeatureLayers
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Built programmatically from the same quartet/binding (and, for the
+  * engineered layers, from the SAME formula AST that builds the Catalyst
+  * plan — `graft.features.Formula.toSql`), so engine and oracle cannot drift.
+  *
+  * Numeric-parity rules used throughout (SURVEY §7.5 float-parity plan):
+  *   - counts stay integral end-to-end (BIGINT);
+  *   - every mean is written as CAST(SUM AS DOUBLE)/CAST(COUNT AS DOUBLE) —
+  *     one IEEE division of exact integers, no order-dependent float sums;
+  *   - engineered features are pure double expression trees, identical
+  *     shape in both engines → bit-identical results.
+  */
+object OracleSql {
+  import Pipelines.quartet
+
+  private val countCols = quartet.map(q => s"${q}_count")
+
+  /** T1 slot CTE chain (mirrors Pipelines.slots). */
+  val slotsCte: String = {
+    val pivots = quartet.map(q =>
+      s"CAST(SUM(CASE WHEN event_type = '$q' THEN 1 ELSE 0 END) AS BIGINT) AS ${q}_count").mkString(", ")
+    s"""slotted AS (
+       |  SELECT user_id,
+       |    CASE WHEN isodow(ts) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+       |    CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN 'Early Morning'
+       |         WHEN hour(ts) BETWEEN 6 AND 11 THEN 'Morning'
+       |         WHEN hour(ts) BETWEEN 12 AND 17 THEN 'Afternoon'
+       |         WHEN hour(ts) BETWEEN 18 AND 23 THEN 'Late Night' END AS time_period,
+       |    event_type
+       |  FROM events
+       |  WHERE event_type IN (${quartet.map(q => s"'$q'").mkString(", ")})
+       |),
+       |slots AS (
+       |  SELECT user_id, day_type, time_period, $pivots
+       |  FROM slotted GROUP BY user_id, day_type, time_period
+       |)""".stripMargin
+  }
+
+  val slotsSelect: String =
+    s"SELECT user_id, day_type, time_period, ${countCols.mkString(", ")}, " +
+      "CASE WHEN purchase_count > 0 THEN 1 ELSE 0 END AS purchase_yn FROM slots"
+
+  val qCalendarSlots: String = s"WITH $slotsCte\n$slotsSelect"
+
+  /** T2 bot filter (mirrors Pipelines.slotsCleaned). */
+  val cleanedCte: String =
+    s"""$slotsCte,
+       |labeled AS ($slotsSelect),
+       |thr AS (
+       |  SELECT quantile_cont(view_count, 0.99) AS p99v,
+       |         quantile_cont(purchase_count, 0.99) AS p99b
+       |  FROM labeled
+       |),
+       |cleaned AS (
+       |  SELECT s.* FROM labeled s, thr t
+       |  WHERE NOT ((s.view_count > t.p99v AND s.purchase_count = 0)
+       |          OR (s.purchase_count > t.p99b AND s.view_count < 5))
+       |)""".stripMargin
+
+  val qSlotClean: String = s"WITH $cleanedCte\nSELECT * FROM cleaned"
+
+  private val statAggs: String = quartet.map { q =>
+    s"CAST(MIN(${q}_count) AS BIGINT) AS ${q}_min, CAST(MAX(${q}_count) AS BIGINT) AS ${q}_max, " +
+      s"CAST(SUM(${q}_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ${q}_avg"
+  }.mkString(",\n    ")
+
+  /** T3 entity stats (mirrors Pipelines.entityStats). */
+  val qEntityStats: String =
+    s"WITH $cleanedCte\nSELECT user_id,\n    $statAggs\nFROM cleaned GROUP BY user_id"
+
+  /** T4 entity grain (mirrors Pipelines.entity — single agg, no join). */
+  val entityCte: String = {
+    val sums = quartet.map(q => s"CAST(SUM(${q}_count) AS BIGINT) AS ${q}_count").mkString(", ")
+    s"""$cleanedCte,
+       |entity0 AS (
+       |  SELECT user_id, $sums,
+       |    $statAggs
+       |  FROM cleaned GROUP BY user_id
+       |),
+       |entity AS (
+       |  SELECT *, CASE WHEN purchase_count > 0 THEN 1 ELSE 0 END AS purchase_yn FROM entity0
+       |)""".stripMargin
+  }
+
+  val qEntity: String = s"WITH $entityCte\nSELECT * FROM entity"
+
+  /** T4 + engineered layers — feature SQL generated from the shared AST. */
+  val qEntityFeatures: String = {
+    val feats = FeatureLayers.sqlProjections(Pipelines.binding)
+      .map { case (n, sql) => s"$sql AS $n" }.mkString(",\n  ")
+    s"WITH $entityCte\nSELECT entity.*,\n  $feats\nFROM entity"
+  }
+
+  /** Sessionization (mirrors Sessionize.sessions, gap = 1800 s). */
+  val qSessionize: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sid AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_turns,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM sid GROUP BY user_id, session_id""".stripMargin
+
+  /** Point-in-time running stats over value-cents (mirrors q_running_stats). */
+  val qRunningStats: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)
+      |SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS run_cnt,
+      |  CAST(MIN(value_c) OVER w AS BIGINT) AS value_c_run_min,
+      |  CAST(MAX(value_c) OVER w AS BIGINT) AS value_c_run_max,
+      |  CAST(SUM(value_c) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS value_c_run_avg
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Lag/lead turn features (mirrors LagLead.withLagLead). */
+  val qLagLead: String =
+    """SELECT user_id, event_id,
+      |  LAG(event_type) OVER w AS prev_role,
+      |  LEAD(event_type) OVER w AS next_role,
+      |  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_prev_us,
+      |  LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_next_us,
+      |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS turn_rank
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** Backward as-of join: every event ← latest purchase at-or-before it
+    * (mirrors AsOfJoin semantics; DuckDB's native ASOF JOIN is the oracle). */
+  val qAsofJoin: String =
+    """WITH p0 AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |p AS (SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1)
+      |SELECT e.user_id, e.event_id, p.event_id AS asof_event_id, p.value AS asof_value
+      |FROM events e
+      |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+
+  /** Hourly tumbling windows (mirrors Windowize.withTumblingWindow(3600)). */
+  val qTumblingHour: String =
+    """SELECT user_id, date_trunc('hour', ts) AS window_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
+
+  /** Exact dedup over documents (hash-groupBy semantics). */
+  val qDedupExact: String =
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY text""".stripMargin
+
+  /** Token/quality text stats over documents. */
+  val qTokenStats: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_seen,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS n_stopwords,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |  (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + CAST(1 AS DOUBLE))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
+    * left-to-right double folds in both engines). */
+  val qSimilarityTopk: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id,
+      |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), (a, b) -> a + b)
+      |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+      |    AS cos_sim
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id <> 0
+      |)
+      |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+}

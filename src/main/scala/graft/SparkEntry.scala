@@ -1,13 +1,95 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the driver's parquet tables, with a DuckDB oracle in [[OracleSql]].
+  * Column names and numeric expression shapes are kept identical between the
+  * Spark plan and the oracle SQL (hash-compare parity; see OracleSql docs).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val ev = TranscriptCols.events
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full hierarchical point-in-time feature pipeline (T1→T4 + layers). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipelines.entityFeatures(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — hierarchical pipeline stages (reference T1..T4 + engineered layers) —
+    "q_calendar_slots" -> ((s, dir) => Pipelines.slots(s, dir)),
+    "q_slot_clean" -> ((s, dir) => Pipelines.slotsCleaned(s, dir)),
+    "q_entity_stats" -> ((s, dir) => Pipelines.entityStats(s, dir)),
+    "q_entity" -> ((s, dir) => Pipelines.entity(s, dir)),
+    "q_entity_features" -> ((s, dir) => Pipelines.entityFeatures(s, dir)),
+
+    // — windowed / point-in-time operators (north rule) —
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Pipelines.table(s, dir, "events"), ev, gapSeconds = 1800L)),
+    "q_running_stats" -> ((s, dir) => {
+      val c = Pipelines.table(s, dir, "events")
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+      RunningStats.pointInTime(c, entity = Seq("user_id"), ev, valueCols = Seq("value_c"))
+        .select(col("user_id"), col("event_id"), col("run_cnt"),
+          col("value_c_run_min"), col("value_c_run_max"), col("value_c_run_avg"))
+    }),
+    "q_lag_lead" -> ((s, dir) =>
+      LagLead.withLagLead(Pipelines.table(s, dir, "events"), ev)
+        .select(col("user_id"), col("event_id"), col("prev_role"), col("next_role"),
+          col("dt_prev_us"), col("dt_next_us"), col("turn_rank"))),
+    "q_asof_join" -> ((s, dir) => {
+      val events = Pipelines.table(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.merged(
+        left = events.select(col("user_id"), col("event_id"), col("ts")),
+        right = purchases, key = "user_id", ts = "ts", rightSeq = "event_id",
+        payload = Seq("event_id", "value"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_event_id"), col("asof_value"))
+    }),
+    "q_tumbling_hour" -> ((s, dir) =>
+      Windowize.withTumblingWindow(Pipelines.table(s, dir, "events"), ev, seconds = 3600L)
+        .groupBy(col("user_id"), col("window_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))),
+
+    // — training-data pipeline operators (documents / embeddings) —
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Pipelines.table(s, dir, "documents"), "doc_id", "text")),
+    "q_token_stats" -> ((s, dir) =>
+      TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
+          col("stopword_ratio"), col("avg_token_len"))),
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") === 0), k = 10)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_calendar_slots" -> OracleSql.qCalendarSlots,
+    "q_slot_clean" -> OracleSql.qSlotClean,
+    "q_entity_stats" -> OracleSql.qEntityStats,
+    "q_entity" -> OracleSql.qEntity,
+    "q_entity_features" -> OracleSql.qEntityFeatures,
+    "q_sessionize" -> OracleSql.qSessionize,
+    "q_running_stats" -> OracleSql.qRunningStats,
+    "q_lag_lead" -> OracleSql.qLagLead,
+    "q_asof_join" -> OracleSql.qAsofJoin,
+    "q_tumbling_hour" -> OracleSql.qTumblingHour,
+    "q_dedup_exact" -> OracleSql.qDedupExact,
+    "q_token_stats" -> OracleSql.qTokenStats,
+    "q_similarity_topk" -> OracleSql.qSimilarityTopk
+  )
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * - `exact`: hash-groupBy on the text (or any key expression); one shuffle,
+  *   map-side combined. Survivor = smallest id (deterministic).
+  * - `minHashLsh`: shingle → minhash signature → band buckets → bucket join.
+  *   Signatures/hashes are portable arithmetic (no JVM/murmur dependence), so
+  *   results are reproducible across engines and in the plain-Scala oracle.
+  * - `simHash`: 64-bit simhash over token hashes; near-dups = small hamming
+  *   distance within a bucket.
+  * - `ngramJaccard`: exact n-gram Jaccard verification for candidate pairs
+  *   (the precision pass after LSH recall).
+  *
+  * Scale shape: every stage is (project → groupBy/join on a bounded-size
+  * key), never a cross product; LSH banding bounds candidate-pair fan-out.
+  */
+object Dedup {
+
+  /** Portable token hash: left-fold polynomial over chars, mod 1000003. */
+  def tokHash(t: Column): Column =
+    aggregate(split(t, ""), lit(7L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000003L)))
+
+  /** Exact dedup: one survivor row (min id) per distinct text + dup count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("n_dups"))
+
+  /** Word k-shingles of a text column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    // shingle i = tokens[i..i+k): build via transform over 0..n-k
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")),
+      s => length(s) > 0)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded affine permutations,
+    * the min over shingle hashes of (a*h + b) mod p. */
+  def minHashSig(text: Column, k: Int, numHashes: Int): Column = {
+    val hashes = transform(shingles(text, k), s => tokHash(s))
+    val p = 2147483647L // 2^31-1 (Mersenne prime)
+    val sig = (0 until numHashes).map { j =>
+      val a = 1223543677L + 2654435761L * j
+      val b = 1327217885L + 40503L * j
+      array_min(transform(hashes, h => pmod(h * lit(a % p) + lit(b % p), lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: band the signature, bucket-join,
+    * emit (id_a < id_b) pairs with their band. `bands * rowsPerBand` must
+    * equal the signature length. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol), minHashSig(col(textCol), shingleK, numHashes).as("__sig"))
+    val banded = sig.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")), "_")): _*)))
+      .toDF(idCol, "band", "bucket")
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 64-bit SimHash over token hashes (bit votes weighted +1/-1). */
+  def simHash(text: Column): Column = {
+    val hashes = transform(split(text, " "), t => tokHash(t) * lit(2654435761L)) // spread bits
+    val bits = (0 until 32).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  def withSimHash(df: DataFrame, textCol: String = "text", out: String = "simhash"): DataFrame =
+    df.withColumn(out, simHash(col(textCol)))
+
+  /** Exact token-set Jaccard for candidate pairs (precision verification).
+    * `pairs` carries (id_a, id_b); texts joined in from `df`. Both joins are
+    * plain equi-joins on the id — broadcastable when the candidate set or the
+    * dictionary side is small. */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 1): DataFrame = {
+    val grams = (c: Column) => if (n == 1) array_distinct(split(c, " "))
+      else array_distinct(shingles(c, n))
+    val withSets = df.select(col(idCol), grams(col(textCol)).as("__g"))
+    pairs
+      .join(withSets.select(col(idCol).as("id_a"), col("__g").as("__ga")), "id_a")
+      .join(withSets.select(col(idCol).as("id_b"), col("__g").as("__gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+          size(array_union(col("__ga"), col("__gb"))).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector and a
+  * single map-only scan (no shuffle until the final TakeOrderedAndProject,
+  * which moves only k rows per partition). Scale path: LSH bucketing via
+  * random-hyperplane signatures (`signBits`) so candidate generation becomes
+  * a bucket equi-join instead of a cross product.
+  *
+  * All vector math is Catalyst higher-order functions over doubles with a
+  * sequential left-fold (`aggregate`), so results are deterministic and
+  * bit-identical to the DuckDB `list_reduce` oracle.
+  */
+object Similarity {
+
+  /** Deterministic left-to-right double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `df.embCol` against the single query row
+    * `queryDf` (one row, one array column). Query side is broadcast; the big
+    * side is never shuffled. */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     queryDf: DataFrame, k: Int): DataFrame = {
+    val q = queryDf.select(col(embCol).as("__q"))
+    df.join(broadcast(q))
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane (SimHash-style) signature for LSH bucketing: `bits`
+    * pseudo-hyperplanes derived from a seeded deterministic weight pattern;
+    * bucket id packs the sign bits. Same-bucket vectors are cosine-close with
+    * high probability — candidate pairs come from a bucket equi-join. */
+  def lshBucket(emb: Column, bits: Int, seed: Long): Column = {
+    val sig = (0 until bits).map { b =>
+      // deterministic pseudo-random hyperplane: w_i = mix(seed,b,i) mapped to ±1
+      val proj = aggregate(
+        transform(emb, (x, i) =>
+          x.cast("double") *
+            (pmod(((i + lit(1)) * lit(2654435761L) + lit(seed + b * 7919L)) * lit(40503L), lit(1000003L))
+              .cast("double") / lit(500001.5) - lit(1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    sig.reduce((a, b) => a + b)
+  }
+
+  /** Bucketed ANN top-k: probe only the query's bucket (plus optionally
+    * neighboring buckets) — at scale this turns an O(N) scan into an
+    * O(N / 2^bits) bucket read when the table is written bucketed/partitioned
+    * by the signature. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              queryDf: DataFrame, k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val q = queryDf.select(col(embCol).as("__q"), lshBucket(col(embCol), bits, seed).as("__qb"))
+    df.withColumn("__b", lshBucket(col(embCol), bits, seed))
+      .join(broadcast(q), col("__b") === col("__qb"))
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * Everything is pure Catalyst (higher-order array functions — filter/
+  * transform/aggregate are codegen-adjacent and fully distributed); no UDFs,
+  * so the 100 TB scan stays a map-only pipelined stage with column pruning
+  * (only `text` is read).
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token/char/stopword stats + ratios (exact integer arithmetic, one final
+    * double division — oracle-parity safe). */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_seen", length(col(textCol)))
+      .withColumn("n_stopwords", nStop)
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+      // avg token length: (chars - separators) / tokens, all exact ints
+      .withColumn("avg_token_len",
+        (length(col(textCol)).cast("double") - nTok.cast("double") + lit(1).cast("double"))
+          / nTok.cast("double"))
+  }
+
+  /** Stopword-profile language-ID heuristic: score each language by hits of
+    * its marker words; argmax wins (deterministic tie-break by list order). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def withLangId(df: DataFrame, textCol: String = "text", out: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"__s_$lang", size(filter(toks, t => t.isin(markers.map(lit): _*))))
+    }
+    // fold builds last-wins, so iterate reversed: the FIRST maximal language wins
+    val best = LangMarkers.map(_._1).reverse.foldLeft(lit("und")) { (acc, lang) =>
+      when(col(s"__s_$lang") === greatest(LangMarkers.map(l => col(s"__s_${l._1}")): _*) &&
+        col(s"__s_$lang") > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn(out, best).drop(LangMarkers.map(l => s"__s_${l._1}"): _*)
+  }
+
+  /** Deterministic document fingerprint: order-sensitive polynomial hash over
+    * token hashes (a rolling-hash analog), pure Catalyst arithmetic —
+    * cross-engine reproducible (no murmur dependence). */
+  def fingerprint(text: Column): Column = {
+    val tokHash = (t: Column) =>
+      aggregate(split(t, ""), lit(7L),
+        (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000003L)))
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(131L) + tokHash(t), lit(1000003L)))
+  }
+
+  def withFingerprint(df: DataFrame, textCol: String = "text", out: String = "fingerprint"): DataFrame =
+    df.withColumn(out, fingerprint(col(textCol)))
+}
