@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.ops.AsOfJoin
+
+/** Three-way equivalence of the as-of join variants + oracle + leakage
+  * properties (SURVEY §7.4.5). */
+case class AsOfL(user_id: Long, event_id: Long, ts: Timestamp)
+case class AsOfR(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type L = AsOfL
+  private type R = AsOfR
+  private val L = AsOfL
+  private val R = AsOfR
+
+  private def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  /** Seeded random scenario incl. duplicate timestamps, keys with no right
+    * rows, right rows after all left rows. */
+  private def scenario(seed: Long, nKeys: Int, nLeft: Int, nRight: Int): (Seq[L], Seq[R]) = {
+    val rnd = new scala.util.Random(seed)
+    val left = (0 until nLeft).map(i =>
+      L(rnd.nextInt(nKeys).toLong, i.toLong, t(rnd.nextInt(1000).toLong)))
+    val right = (0 until nRight).map(i =>
+      R(rnd.nextInt(nKeys).toLong, t(rnd.nextInt(1000).toLong), (1000 + i).toLong, rnd.nextInt(100).toDouble))
+    (left, right)
+  }
+
+  private def run(f: (DataFrame, DataFrame) => DataFrame, left: Seq[L], right: Seq[R]): Map[Long, (Option[Long], Option[Double])] =
+    f(left.toDF(), right.toDF()).collect().map { r =>
+      val id = r.getLong(r.fieldIndex("event_id"))
+      val aid = Option(r.get(r.fieldIndex("asof_event_id"))).map(_.asInstanceOf[Long])
+      val av = Option(r.get(r.fieldIndex("asof_value"))).map(_.asInstanceOf[Double])
+      id -> (aid, av)
+    }.toMap
+
+  private def inMemory(left: Seq[L], right: Seq[R]): Map[Long, (Option[Long], Option[Double])] =
+    left.map { l =>
+      val cand = right.filter(r => r.user_id == l.user_id && !r.ts.after(l.ts))
+      val best = cand.sortBy(r => (r.ts.getTime, r.event_id)).lastOption
+      l.event_id -> (best.map(_.event_id), best.map(_.value))
+    }.toMap
+
+  private val variants: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+    "windowed" -> ((l, r) => AsOfJoin.windowed(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
+    "merged" -> ((l, r) => AsOfJoin.merged(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
+    "broadcastIndex" -> ((l, r) => AsOfJoin.broadcastIndex(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))))
+
+  test("all three variants equal the in-memory oracle on random scenarios") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val (left, right) = scenario(seed, nKeys = 7, nLeft = 300, nRight = 120)
+      val expected = inMemory(left, right)
+      variants.foreach { case (name, f) =>
+        assert(run(f, left, right) == expected, s"variant $name seed $seed")
+      }
+    }
+  }
+
+  test("inclusive at equal timestamps; greatest-seq tiebreak among right dups") {
+    val left = Seq(L(1, 10, t(100)))
+    val right = Seq(R(1, t(100), 1001, 5.0), R(1, t(100), 1002, 7.0), R(1, t(101), 1003, 9.0))
+    val expected = Map(10L -> (Some(1002L), Some(7.0)))
+    variants.foreach { case (name, f) => assert(run(f, left, right) == expected, name) }
+  }
+
+  test("zero leakage: mutating right rows strictly after an anchor never changes it") {
+    val (left, right) = scenario(9L, nKeys = 4, nLeft = 80, nRight = 40)
+    val base = run(variants(1)._2, left, right)
+    // shift every right row that is strictly after ALL anchors of its key
+    val maxAnchor = left.groupBy(_.user_id).view.mapValues(_.map(_.ts.getTime).max).toMap
+    val mutated = right.map { r =>
+      if (maxAnchor.get(r.user_id).forall(a => r.ts.getTime > a))
+        r.copy(value = r.value + 999.0, event_id = r.event_id + 5000)
+      else r
+    }
+    assert(run(variants(1)._2, left, mutated) == base)
+  }
+
+  test("no right rows for a key → null payload") {
+    val left = Seq(L(1, 1, t(10)), L(2, 2, t(10)))
+    val right = Seq(R(1, t(5), 1001, 1.0))
+    val expected = Map(1L -> (Some(1001L), Some(1.0)), 2L -> (None, None))
+    variants.foreach { case (name, f) => assert(run(f, left, right) == expected, name) }
+  }
+}

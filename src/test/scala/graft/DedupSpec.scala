@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),          // near dup (1 token)
+    (3L, "completely different content about spark shuffles"),
+    (4L, "completely different content about spark shuffles"),    // exact dup of 3
+    (5L, "sessionize windows over conversation transcripts now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts dups") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
+  test("minhash LSH surfaces exact and near dups as candidate pairs") {
+    // unigram shingles + 2-row bands: token-Jaccard 0.8 for the near-dup pair
+    // gives ≥1 colliding band with near-certainty (deterministic seeded hashes)
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleK = 1, numHashes = 12, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair 0-1")
+    assert(pairs.contains((3L, 4L)), "exact dup pair 3-4")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near-dup pair with doc 2")
+    // unrelated docs never pair with the fox docs
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((0L, 5L)))
+  }
+
+  test("jaccard verification: exact dup = 1.0, near dup high, unrelated low") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.7 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical texts identical hashes; near dups close in hamming") {
+    val h = Dedup.withSimHash(docs).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L) && h(3L) == h(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)), "near dup closer than unrelated")
+  }
+
+  test("text stats + langid + fingerprint are deterministic and sane") {
+    val ts = TextAnalysis.withTokenStats(docs).where(col("doc_id") === 0).collect()(0)
+    assert(ts.getInt(ts.fieldIndex("n_tokens")) == 9)
+    assert(ts.getInt(ts.fieldIndex("n_stopwords")) == 2) // 'the' twice
+    val lang = TextAnalysis.withLangId(docs).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(0L) == "en")
+    val fp = TextAnalysis.withFingerprint(docs).select("doc_id", "fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
+  }
+
+  test("lsh topk agrees with brute force on the shared candidates") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 5, bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // lsh returns a subset of the space; every returned score must equal brute-force's
+    lsh.foreach { case (id, s) => brute.get(id).foreach(bs => assert(bs == s)) }
+    assert(lsh.nonEmpty)
+  }
+}
