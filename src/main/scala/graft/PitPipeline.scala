@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+import graft.features.{BehaviorBinding, FeatureLayers}
+
+/** The flagship point-in-time pipeline: every turn is an anchor; its feature
+  * vector summarizes ONLY completed tumbling windows of its conversation.
+  *
+  * Stages (each a named operator from SURVEY §2):
+  *   1. windowize: tumbling windows of `widthSec` per conversation;
+  *   2. pivot: per-(conv, window) role counts (`${role}_wc`);
+  *   3. running states: per conversation ordered by window, cumulative
+  *      min/max/avg and total of each role count — the reference's
+  *      entity-stats hierarchy (`mean_features.py:20-26`) made point-in-time;
+  *   4. engineered layers over the running states (`LR_Advanced.py:394-473`);
+  *   5. as-of join: each anchor (conv, ts) picks the feature state of the
+  *      latest window with window_end <= ts (strictly completed windows —
+  *      zero leakage: a turn never sees counts from its own still-open
+  *      window, let alone future ones).
+  *
+  * Scale shape: stages 1-2 are one shuffle (hash by conv+window with partial
+  * aggregation); stages 3-4 one window sort per conversation; stage 5 the
+  * range-partitioned merge. The state table is |windows| rows — typically
+  * 100-1000× smaller than the turn table, which is what makes the final
+  * as-of join cheap relative to the scan.
+  */
+object PitPipeline {
+
+  /** Stages 1-3: per-(conv, window) running stats of role counts.
+    * Output grain: one row per (conv, window_start), with `window_end`,
+    * `${r}_min/_max/_avg` (over windows so far) and `${r}_count`
+    * (cumulative total so far) for each role. */
+  def windowStates(turns: DataFrame, c: TranscriptCols, roles: Seq[String],
+                   widthSec: Long): DataFrame = {
+    val windowed = Windowize.withTumblingWindow(turns, c, widthSec)
+    val counts = PivotCounts(windowed, Seq(c.conv, "window_start"), c.role, roles, suffix = "_wc")
+    val w = Window.partitionBy(col(c.conv)).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cnt = count(lit(1)).over(w)
+    val statCols = roles.flatMap { r =>
+      Seq(
+        min(col(s"${r}_wc")).over(w).as(s"${r}_min"),
+        max(col(s"${r}_wc")).over(w).as(s"${r}_max"),
+        (sum(col(s"${r}_wc")).over(w).cast("double") / cnt.cast("double")).as(s"${r}_avg"),
+        sum(col(s"${r}_wc")).over(w).as(s"${r}_count"))
+    }
+    counts.select(
+      Seq(col(c.conv), col("window_start"),
+        (col("window_start") + expr(s"INTERVAL $widthSec SECONDS")).as("window_end")) ++
+        statCols: _*)
+  }
+
+  /** Stages 1-4: engineered feature vector per (conv, window). */
+  def featureStates(turns: DataFrame, c: TranscriptCols, roles: Seq[String],
+                    binding: BehaviorBinding, widthSec: Long): DataFrame =
+    FeatureLayers.applyTo(windowStates(turns, c, roles, widthSec), binding)
+
+  /** Full backfill: feature vector at every turn anchor (stages 1-5).
+    * Anchors with no completed window yet get null features (first-window
+    * turns) — exactly the zero-history case. */
+  def anchorFeatures(turns: DataFrame, c: TranscriptCols, roles: Seq[String],
+                     binding: BehaviorBinding, widthSec: Long): DataFrame = {
+    val states = featureStates(turns, c, roles, binding, widthSec)
+    val payload = states.columns.filterNot(Set(c.conv, "window_start", "window_end").contains).toSeq
+    val anchors = turns.select(col(c.conv), col(c.seq), col(c.ts))
+    // align the right side's timestamp column name with the anchors' ts:
+    // the as-of key is window_end (completed windows only)
+    AsOfJoin.merged(
+      left = anchors,
+      right = states.withColumnRenamed("window_end", c.ts),
+      key = c.conv, ts = c.ts, rightSeq = "window_start",
+      payload = payload, prefix = "")
+  }
+}
