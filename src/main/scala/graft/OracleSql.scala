@@ -181,6 +181,203 @@ object OracleSql {
       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
       |FROM documents""".stripMargin
 
+  /** Flagship PIT backfill over events: tumbling-hour window states →
+    * running per-entity stats → engineered layers → ASOF join to every event
+    * anchor (completed windows only). Mirrors PitPipeline.anchorFeatures. */
+  val qPitBackfill: String = {
+    val wcs = quartet.map(q =>
+      s"CAST(SUM(CASE WHEN event_type = '$q' THEN 1 ELSE 0 END) AS BIGINT) AS ${q}_wc").mkString(",\n    ")
+    val stats = quartet.map { q =>
+      s"""CAST(MIN(${q}_wc) OVER w AS BIGINT) AS ${q}_min,
+         |    CAST(MAX(${q}_wc) OVER w AS BIGINT) AS ${q}_max,
+         |    CAST(SUM(${q}_wc) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ${q}_avg,
+         |    CAST(SUM(${q}_wc) OVER w AS BIGINT) AS ${q}_count""".stripMargin
+    }.mkString(",\n    ")
+    val feats = FeatureLayers.sqlProjections(Pipelines.binding)
+      .map { case (n, sql) => s"$sql AS $n" }.mkString(",\n    ")
+    val outStats = quartet.flatMap(q =>
+      Seq(s"f.${q}_min", s"f.${q}_max", s"f.${q}_avg", s"f.${q}_count")).mkString(", ")
+    val outFeats = FeatureLayers.sqlProjections(Pipelines.binding)
+      .map { case (n, _) => s"f.$n" }.mkString(", ")
+    s"""WITH wc AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS window_start,
+       |    $wcs
+       |  FROM events GROUP BY user_id, date_trunc('hour', ts)
+       |),
+       |states AS (
+       |  SELECT user_id, window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       |    $stats
+       |  FROM wc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY window_start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |feat AS (
+       |  SELECT states.*,
+       |    $feats
+       |  FROM states
+       |)
+       |SELECT e.user_id, e.event_id, $outStats, $outFeats
+       |FROM events e
+       |ASOF LEFT JOIN feat f ON e.user_id = f.user_id AND e.ts >= f.window_end""".stripMargin
+  }
+
+  /** IQR clip of the slot counts (single-pass thresholds). */
+  val qIqrClip: String = {
+    val clips = countCols.map { c =>
+      s"""LEAST(GREATEST(CAST(s.$c AS DOUBLE),
+         |    t.q1_$c - 1.5 * (t.q3_$c - t.q1_$c)),
+         |    t.q3_$c + 1.5 * (t.q3_$c - t.q1_$c)) AS $c""".stripMargin
+    }.mkString(",\n  ")
+    val qs = countCols.map(c =>
+      s"quantile_cont($c, 0.25) AS q1_$c, quantile_cont($c, 0.75) AS q3_$c").mkString(", ")
+    s"""WITH $slotsCte,
+       |labeled AS ($slotsSelect),
+       |t AS (SELECT $qs FROM labeled)
+       |SELECT s.user_id, s.day_type, s.time_period,
+       |  $clips,
+       |  s.purchase_yn
+       |FROM labeled s, t""".stripMargin
+  }
+
+  /** Per-column population variance (exact integer-moment form). */
+  val qVarianceScreen: String = {
+    val rows = countCols.map { c =>
+      s"""SELECT '$c' AS feature,
+         |  CAST(SUM(CAST($c AS BIGINT) * CAST($c AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |  - (CAST(SUM(CAST($c AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         |    * (CAST(SUM(CAST($c AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS variance
+         |FROM entity""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $entityCte\n$rows"
+  }
+
+  /** Alphabetical label encode of event_type. */
+  val qLabelEncode: String =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INTEGER) AS event_type_code
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |)
+      |SELECT e.event_id, e.event_type, d.event_type_code
+      |FROM events e JOIN dim d USING (event_type)""".stripMargin
+
+  /** Stratified k-fold assignment at entity grain (k=5, Knuth scramble). */
+  val qStratifiedFolds: String =
+    s"""WITH $entityCte
+       |SELECT user_id, purchase_yn,
+       |  CAST((ROW_NUMBER() OVER (PARTITION BY purchase_yn
+       |    ORDER BY (user_id * 2654435761) % 4294967296, user_id) - 1) % 5 AS INTEGER) AS fold
+       |FROM entity""".stripMargin
+
+  /** Epoch parse heuristic + Asia/Shanghai hour floor + calendar encode. */
+  val qTsParse: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) // 1000000
+      |         ELSE epoch_us(ts) // 1000 END AS v
+      |  FROM events
+      |),
+      |parsed AS (
+      |  SELECT event_id,
+      |    CASE WHEN v > 10000000000 THEN make_timestamp(v * 1000)
+      |         ELSE make_timestamp(v * 1000000) END AS ts_utc
+      |  FROM raw
+      |)
+      |SELECT event_id,
+      |  date_trunc('hour', ts_utc + INTERVAL 8 HOUR) AS bj_hour,
+      |  CASE WHEN isodow(ts_utc + INTERVAL 8 HOUR) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+      |  CASE WHEN hour(ts_utc + INTERVAL 8 HOUR) BETWEEN 0 AND 5 THEN 'Early Morning'
+      |       WHEN hour(ts_utc + INTERVAL 8 HOUR) BETWEEN 6 AND 11 THEN 'Morning'
+      |       WHEN hour(ts_utc + INTERVAL 8 HOUR) BETWEEN 12 AND 17 THEN 'Afternoon'
+      |       ELSE 'Late Night' END AS time_period
+      |FROM parsed""".stripMargin
+
+  /** Portable char-fold token hash as SQL (mirrors Dedup.tokHash /
+    * TextAnalysis: acc0=7, acc*31+ascii mod 1000003). */
+  private def sqlTokHash(tokenExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(string_split($tokenExpr, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % 1000003)""".stripMargin
+
+  /** Rolling document fingerprint (mirrors TextAnalysis.fingerprint). */
+  val qFingerprint: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '),
+       |      t -> ${sqlTokHash("t")})),
+       |    (acc, h) -> (acc * 131 + h) % 1000003) AS fingerprint
+       |FROM documents""".stripMargin
+
+  /** 32-bit SimHash (mirrors Dedup.simHash). */
+  val qSimHash: String = {
+    val bits = (0 until 32).map { b =>
+      s"""CASE WHEN list_sum(list_transform(th,
+         |    h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> ${sqlTokHash("t")} * 2654435761) AS th
+       |  FROM documents
+       |)
+       |SELECT doc_id, $bits AS simhash FROM h""".stripMargin
+  }
+
+  /** Language-ID by stopword profile (mirrors TextAnalysis.withLangId). */
+  val qLangId: String = {
+    val markers = graft.ops.TextAnalysis.LangMarkers
+    val scores = markers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val greatest = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val cases = markers.map { case (l, _) =>
+      s"WHEN s_$l = $greatest AND s_$l > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM s""".stripMargin
+  }
+
+  /** MinHash signature (k=3 shingles, 12 hashes) rendered as a joined string
+    * (mirrors Dedup.minHashSig; string form keeps the compare portable). */
+  val qMinHashSig: String = {
+    val p = 2147483647L
+    val mins = (0 until 12).map { j =>
+      val a = (1223543677L + 2654435761L * j) % p
+      val b = (1327217885L + 40503L * j) % p
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(range(0, GREATEST(len(tk) - 3, 0) + 1),
+       |      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')),
+       |      s -> length(s) > 0) AS shingles
+       |  FROM toks
+       |),
+       |hashes AS (
+       |  SELECT doc_id, list_transform(shingles, t -> ${sqlTokHash("t")}) AS hs FROM sh
+       |)
+       |SELECT doc_id,
+       |  array_to_string($mins, '_') AS sig
+       |FROM hashes""".stripMargin
+  }
+
+  /** Top-20 entities by total activity (TakeOrderedAndProject analog of the
+    * reference's top-20 importance listing). */
+  val qTopEntities: String =
+    s"""WITH $entityCte
+       |SELECT user_id,
+       |  view_count + click_count + signup_count + purchase_count AS total_activity
+       |FROM entity
+       |ORDER BY total_activity DESC, user_id LIMIT 20""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

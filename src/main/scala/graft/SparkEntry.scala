@@ -15,6 +15,18 @@ object SparkEntry {
 
   private val ev = TranscriptCols.events
 
+  /** Shared scenario for the three as-of variants: every event ← latest
+    * purchase at-or-before it. */
+  private def asofVariant(s: SparkSession, dir: String,
+      f: (DataFrame, DataFrame, String, String, String, Seq[String], String) => DataFrame): DataFrame = {
+    val events = Pipelines.table(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    f(events.select(col("user_id"), col("event_id"), col("ts")), purchases,
+      "user_id", "ts", "event_id", Seq("event_id", "value"), "asof_")
+      .select(col("user_id"), col("event_id"), col("asof_event_id"), col("asof_value"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full hierarchical point-in-time feature pipeline (T1→T4 + layers). */
   def entry(spark: SparkSession): DataFrame =
@@ -60,6 +72,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))),
 
+    // — flagship: full PIT backfill (windowize → states → layers → as-of) —
+    "q_pit_backfill" -> ((s, dir) =>
+      PitPipeline.anchorFeatures(Pipelines.table(s, dir, "events"),
+        ev, Pipelines.quartet, Pipelines.binding, widthSec = 3600L).drop("ts")),
+
+    // — as-of variant equivalence (same oracle as q_asof_join) —
+    "q_asof_windowed" -> ((s, dir) => asofVariant(s, dir, AsOfJoin.windowed)),
+    "q_asof_bcast" -> ((s, dir) => asofVariant(s, dir, AsOfJoin.broadcastIndex)),
+
+    // — statistical cleaning / screening / encoding —
+    "q_iqr_clip" -> ((s, dir) =>
+      StatOps.iqrClip(Pipelines.slots(s, dir), Pipelines.quartet.map(q => s"${q}_count"))),
+    "q_variance_screen" -> ((s, dir) =>
+      StatOps.varianceScreen(Pipelines.entity(s, dir), Pipelines.quartet.map(q => s"${q}_count"))),
+    "q_label_encode" -> ((s, dir) =>
+      CategoricalOps.labelEncode(Pipelines.table(s, dir, "events"), "event_type")
+        .select(col("event_id"), col("event_type"), col("event_type_code"))),
+    "q_stratified_folds" -> ((s, dir) =>
+      CategoricalOps.stratifiedFolds(Pipelines.entity(s, dir), "user_id", "purchase_yn", 5)
+        .select(col("user_id"), col("purchase_yn"), col("fold"))),
+    "q_ts_parse" -> ((s, dir) => {
+      val e = Pipelines.table(s, dir, "events")
+      val us = graft.ops.micros(col("ts"))
+      val v = when(col("event_id") % 2 === 0, ScalarOps.epochSeconds(col("ts")))
+        .otherwise(((us - pmod(us, lit(1000L))) / lit(1000L)).cast("long"))
+      val bj = ScalarOps.toShanghaiHour(ScalarOps.parseEpoch(v))
+      e.select(col("event_id"), bj.as("bj_hour"),
+        Windowize.dayType(bj).as("day_type"),
+        Windowize.timePeriod(bj).as("time_period"))
+    }),
+    "q_top_entities" -> ((s, dir) =>
+      Pipelines.entity(s, dir)
+        .select(col("user_id"),
+          (col("view_count") + col("click_count") + col("signup_count") + col("purchase_count"))
+            .as("total_activity"))
+        .orderBy(col("total_activity").desc, col("user_id")).limit(20)),
+
+    // — text hashing / language-id —
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(Pipelines.table(s, dir, "documents"))
+        .select(col("doc_id"), col("fingerprint"))),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.withSimHash(Pipelines.table(s, dir, "documents"))
+        .select(col("doc_id"), col("simhash"))),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(Pipelines.table(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"))),
+    "q_minhash_sig" -> ((s, dir) =>
+      Pipelines.table(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(Dedup.minHashSig(col("text"), 3, 12), _.cast("string")), "_")
+          .as("sig"))),
+    "q_lsh_pairs" -> ((s, dir) => // rows-only check: pair generation at scale
+      Dedup.minHashLshPairs(Pipelines.table(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 12, bands = 4)),
+
     // — training-data pipeline operators (documents / embeddings) —
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Pipelines.table(s, dir, "documents"), "doc_id", "text")),
@@ -88,6 +155,19 @@ object SparkEntry {
     "q_lag_lead" -> OracleSql.qLagLead,
     "q_asof_join" -> OracleSql.qAsofJoin,
     "q_tumbling_hour" -> OracleSql.qTumblingHour,
+    "q_pit_backfill" -> OracleSql.qPitBackfill,
+    "q_asof_windowed" -> OracleSql.qAsofJoin,
+    "q_asof_bcast" -> OracleSql.qAsofJoin,
+    "q_iqr_clip" -> OracleSql.qIqrClip,
+    "q_variance_screen" -> OracleSql.qVarianceScreen,
+    "q_label_encode" -> OracleSql.qLabelEncode,
+    "q_stratified_folds" -> OracleSql.qStratifiedFolds,
+    "q_ts_parse" -> OracleSql.qTsParse,
+    "q_top_entities" -> OracleSql.qTopEntities,
+    "q_fingerprint" -> OracleSql.qFingerprint,
+    "q_simhash" -> OracleSql.qSimHash,
+    "q_lang_id" -> OracleSql.qLangId,
+    "q_minhash_sig" -> OracleSql.qMinHashSig,
     "q_dedup_exact" -> OracleSql.qDedupExact,
     "q_token_stats" -> OracleSql.qTokenStats,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk

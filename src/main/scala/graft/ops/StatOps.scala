@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical cleaning / screening operators from the reference's feature-
+  * preparation stage, rewritten as single-pass aggregations.
+  *
+  * The reference loops one pandas `quantile` call per column
+  * (`LR_Model_train/LR_Advanced.py:548-556`) — ~100 sequential scans. Here
+  * every threshold for every column comes from ONE aggregation job whose
+  * 1-row result is broadcast back (SURVEY §4 "quantile loops" rewrite).
+  */
+object StatOps {
+
+  /** IQR clip: clip each column to [Q1 - 1.5·IQR, Q3 + 1.5·IQR]
+    * (`LR_Advanced.py:548-556`). Exact percentiles (pandas-compatible linear
+    * interpolation); single agg pass for all columns. */
+  def iqrClip(df: DataFrame, cols: Seq[String], factor: Double = 1.5): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(expr(s"percentile($c, 0.25D)").as(s"__q1_$c"),
+        expr(s"percentile($c, 0.75D)").as(s"__q3_$c"))
+    }
+    val th = df.agg(aggs.head, aggs.tail: _*)
+    val clipped = df.crossJoin(broadcast(th))
+    val outCols = df.columns.map { c =>
+      if (!cols.contains(c)) col(c)
+      else {
+        val iqr = col(s"__q3_$c") - col(s"__q1_$c")
+        val lo = col(s"__q1_$c") - lit(factor) * iqr
+        val hi = col(s"__q3_$c") + lit(factor) * iqr
+        least(greatest(col(c).cast("double"), lo), hi).as(c)
+      }
+    }
+    clipped.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Population variance per column over INTEGRAL inputs, one row per column
+    * (`LR_Advanced.py:500-504` variance screen). Computed as
+    * E[x²] − E[x]² over exact integer sums — deterministic across engines
+    * and partitionings (unlike streaming Welford merges). */
+  def varianceScreen(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).cast("long") * col(c).cast("long")).as(s"__ss_$c"),
+        sum(col(c).cast("long")).as(s"__s_$c"))
+    } :+ count(lit(1)).as("__n")
+    val t = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("feature"),
+        (col(s"__ss_$c").cast("double") / col("__n").cast("double") -
+          (col(s"__s_$c").cast("double") / col("__n").cast("double")) *
+            (col(s"__s_$c").cast("double") / col("__n").cast("double"))).as("variance"))
+    }
+    t.select(explode(array(rows: _*)).as("r")).select(col("r.feature"), col("r.variance"))
+  }
+
+  /** Columns passing the variance threshold, in original column order
+    * (`LR_Advanced.py:500-508` — order matters: the first 12 survivors feed
+    * the interaction generator). */
+  def highVarianceCols(df: DataFrame, cols: Seq[String], threshold: Double): Seq[String] = {
+    val v = varianceScreen(df, cols).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cols.filter(c => v(c) > threshold)
+  }
+
+  /** All pairwise interaction columns i*j over `cols`
+    * (PolynomialFeatures degree-2 interaction-only, `LR_Advanced.py:511-528`;
+    * names use `_x_` instead of sklearn's space). */
+  def pairwiseInteractions(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+      .as(s"${cols(i)}_x_${cols(j)}")
+    df.select(df.columns.map(col).toIndexedSeq ++ pairs: _*)
+  }
+}
