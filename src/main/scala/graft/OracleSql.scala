@@ -369,6 +369,108 @@ object OracleSql {
        |FROM hashes""".stripMargin
   }
 
+  /** Scored-entity CTE: conversion_potential feature as score + label
+    * (input to the metrics-operator oracles). */
+  private val scoredCte: String = {
+    val cp = FeatureLayers.sqlProjections(Pipelines.binding).toMap.apply("conversion_potential")
+    s"""$entityCte,
+       |scored AS (
+       |  SELECT user_id, purchase_yn AS y, $cp AS score FROM entity
+       |)""".stripMargin
+  }
+
+  /** Confusion-matrix counts at threshold 0.5. */
+  val qConfusion: String =
+    s"""WITH $scoredCte
+       |SELECT y, CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS pred, COUNT(*) AS n
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
+  /** Accuracy / precision / recall / F1 at threshold 0.5 (exact counts). */
+  val qBinaryMetrics: String =
+    s"""WITH $scoredCte,
+       |c AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN y = 1 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(SUM(CASE WHEN y = 1 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM scored
+       |)
+       |SELECT tp, fp, tn, fn,
+       |  CASE WHEN CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) > 0.0
+       |    THEN (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+       |      (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS accuracy,
+       |  CASE WHEN CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) > 0.0
+       |    THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END AS precision,
+       |  CASE WHEN CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE) > 0.0
+       |    THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS recall,
+       |  CASE WHEN 2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) > 0.0
+       |    THEN (2.0 * CAST(tp AS DOUBLE)) /
+       |      (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS f1
+       |FROM c""".stripMargin
+
+  /** ROC AUC via Mann-Whitney with average ranks for ties. */
+  val qAucRoc: String =
+    s"""WITH $scoredCte,
+       |ranked AS (
+       |  SELECT y,
+       |    CAST(RANK() OVER (ORDER BY score) AS DOUBLE)
+       |      + (CAST(COUNT(*) OVER (PARTITION BY score) AS DOUBLE) - 1.0) / 2.0 AS r
+       |  FROM scored
+       |),
+       |agg AS (
+       |  SELECT SUM(CASE WHEN y = 1 THEN r ELSE 0.0 END) AS sumr,
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM ranked
+       |)
+       |SELECT CASE WHEN p > 0 AND n > 0
+       |  THEN (sumr - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0)
+       |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END AS auc
+       |FROM agg""".stripMargin
+
+  /** Calibration bins (10 uniform score bins, clamped). */
+  val qCalibration: String =
+    s"""WITH $scoredCte
+       |SELECT CAST(LEAST(GREATEST(FLOOR(score * 10), 0), 9) AS INTEGER) AS bin,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+       |FROM scored GROUP BY 1""".stripMargin
+
+  /** F1 over the 99-threshold grid. */
+  val qThresholdScan: String =
+    s"""WITH $scoredCte,
+       |th AS (SELECT (i + 1) / 100.0 AS threshold FROM range(99) t(i)),
+       |c AS (
+       |  SELECT threshold,
+       |    CAST(SUM(CASE WHEN y = 1 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 1 AND score <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM scored, th GROUP BY threshold
+       |)
+       |SELECT threshold, tp, fp, fn,
+       |  CASE WHEN 2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE) > 0.0
+       |    THEN (2.0 * CAST(tp AS DOUBLE)) /
+       |      (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS f1
+       |FROM c""".stripMargin
+
+  /** Median/mode imputation over synthesized nulls. */
+  val qImpute: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type_n
+      |  FROM events
+      |),
+      |med AS (SELECT quantile_cont(value_n, 0.5) AS m FROM e),
+      |mo AS (
+      |  SELECT event_type_n AS mv FROM e WHERE event_type_n IS NOT NULL
+      |  GROUP BY 1 ORDER BY COUNT(*) DESC, event_type_n ASC LIMIT 1
+      |)
+      |SELECT event_id, COALESCE(CAST(value_n AS DOUBLE), med.m) AS value_n,
+      |  COALESCE(e.event_type_n, mo.mv) AS event_type_n
+      |FROM e, med, mo""".stripMargin
+
   /** Top-20 entities by total activity (TakeOrderedAndProject analog of the
     * reference's top-20 importance listing). */
   val qTopEntities: String =

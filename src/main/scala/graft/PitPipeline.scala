@@ -68,10 +68,12 @@ object PitPipeline {
     val anchors = turns.select(col(c.conv), col(c.seq), col(c.ts))
     // align the right side's timestamp column name with the anchors' ts:
     // the as-of key is window_end (completed windows only)
+    // states are unique per (conv, window_end) by construction — skip the
+    // dedup pass (saves a sort + window stage in the physical plan)
     AsOfJoin.merged(
       left = anchors,
       right = states.withColumnRenamed("window_end", c.ts),
       key = c.conv, ts = c.ts, rightSeq = "window_start",
-      payload = payload, prefix = "")
+      payload = payload, prefix = "", dedup = false)
   }
 }

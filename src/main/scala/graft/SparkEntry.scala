@@ -27,6 +27,12 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("asof_event_id"), col("asof_value"))
   }
 
+  /** Scored entities for the metrics operators: conversion_potential as the
+    * score, purchase_yn as the label. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Pipelines.entityFeatures(s, dir)
+      .select(col("user_id"), col("purchase_yn").as("y"), col("conversion_potential").as("score"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full hierarchical point-in-time feature pipeline (T1→T4 + layers). */
   def entry(spark: SparkSession): DataFrame =
@@ -78,8 +84,11 @@ object SparkEntry {
         ev, Pipelines.quartet, Pipelines.binding, widthSec = 3600L).drop("ts")),
 
     // — as-of variant equivalence (same oracle as q_asof_join) —
-    "q_asof_windowed" -> ((s, dir) => asofVariant(s, dir, AsOfJoin.windowed)),
+    "q_asof_windowed" -> ((s, dir) =>
+      asofVariant(s, dir, AsOfJoin.windowed(_, _, _, _, _, _, _))),
     "q_asof_bcast" -> ((s, dir) => asofVariant(s, dir, AsOfJoin.broadcastIndex)),
+    "q_asof_scalable" -> ((s, dir) =>
+      asofVariant(s, dir, AsOfJoin.mergedScalable(_, _, _, _, _, _, _))),
 
     // — statistical cleaning / screening / encoding —
     "q_iqr_clip" -> ((s, dir) =>
@@ -109,6 +118,24 @@ object SparkEntry {
             .as("total_activity"))
         .orderBy(col("total_activity").desc, col("user_id")).limit(20)),
 
+    // — evaluation-framework metrics over scored entities —
+    "q_confusion" -> ((s, dir) => {
+      val sc = scored(s, dir)
+      Metrics.confusion(sc.withColumn("pred",
+        when(col("score") > 0.5, 1).otherwise(0)), "y", "pred")
+    }),
+    "q_binary_metrics" -> ((s, dir) => Metrics.binaryMetrics(scored(s, dir), "y", "score", 0.5)),
+    "q_auc_roc" -> ((s, dir) => Metrics.aucRoc(scored(s, dir), "y", "score")),
+    "q_calibration" -> ((s, dir) => Metrics.calibrationBins(scored(s, dir), "y", "score")),
+    "q_threshold_scan" -> ((s, dir) =>
+      Metrics.thresholdScan(scored(s, dir), "y", "score", (1 to 99).map(i => (i + 0.0) / 100.0))),
+    "q_impute" -> ((s, dir) => {
+      val e = Pipelines.table(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("value_n"),
+        when(col("event_id") % 11 === 0, lit(null)).otherwise(col("event_type")).as("event_type_n"))
+      Impute.modeFill(Impute.medianFill(e, Seq("value_n")), Seq("event_type_n"))
+    }),
+
     // — text hashing / language-id —
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.withFingerprint(Pipelines.table(s, dir, "documents"))
@@ -120,9 +147,12 @@ object SparkEntry {
       TextAnalysis.withLangId(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))),
     "q_minhash_sig" -> ((s, dir) =>
-      Pipelines.table(s, dir, "documents").select(col("doc_id"),
-        array_join(transform(Dedup.minHashSig(col("text"), 3, 12), _.cast("string")), "_")
-          .as("sig"))),
+      // stage the shingle-hash array so the 12 permutations share one pass
+      Pipelines.table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("__hs"))
+        .select(col("doc_id"),
+          array_join(transform(Dedup.minHashSigFromHashes(col("__hs"), 12),
+            _.cast("string")), "_").as("sig"))),
     "q_lsh_pairs" -> ((s, dir) => // rows-only check: pair generation at scale
       Dedup.minHashLshPairs(Pipelines.table(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 12, bands = 4)),
@@ -158,12 +188,19 @@ object SparkEntry {
     "q_pit_backfill" -> OracleSql.qPitBackfill,
     "q_asof_windowed" -> OracleSql.qAsofJoin,
     "q_asof_bcast" -> OracleSql.qAsofJoin,
+    "q_asof_scalable" -> OracleSql.qAsofJoin,
     "q_iqr_clip" -> OracleSql.qIqrClip,
     "q_variance_screen" -> OracleSql.qVarianceScreen,
     "q_label_encode" -> OracleSql.qLabelEncode,
     "q_stratified_folds" -> OracleSql.qStratifiedFolds,
     "q_ts_parse" -> OracleSql.qTsParse,
     "q_top_entities" -> OracleSql.qTopEntities,
+    "q_confusion" -> OracleSql.qConfusion,
+    "q_binary_metrics" -> OracleSql.qBinaryMetrics,
+    "q_auc_roc" -> OracleSql.qAucRoc,
+    "q_calibration" -> OracleSql.qCalibration,
+    "q_threshold_scan" -> OracleSql.qThresholdScan,
+    "q_impute" -> OracleSql.qImpute,
     "q_fingerprint" -> OracleSql.qFingerprint,
     "q_simhash" -> OracleSql.qSimHash,
     "q_lang_id" -> OracleSql.qLangId,

@@ -115,12 +115,18 @@ object FeatureLayers {
   }
 
   /** Append all engineered features to a Basic-layer DataFrame (must carry
-    * the 12 stat columns + pv_count). Single wide projection — one codegen
-    * stage, zero shuffles. */
+    * the 12 stat columns + pv_count). Features are added in dependency order
+    * referencing earlier features as STORED columns (not re-inlined): the
+    * runtime arithmetic is bit-identical to the fully-inlined form (same op
+    * sequence per value), but the codegen'd projection stays small — the
+    * inlined variant produced pathological whole-stage-codegen sizes.
+    * Catalyst collapses the chain back into a few projections, keeping
+    * multiply-used non-cheap intermediates materialized. Zero shuffles. */
   def applyTo(df: DataFrame, b: BehaviorBinding): DataFrame = {
-    val r = resolver(b)
-    df.select(df.columns.map(col) ++
-      formulas(b).map { case (n, ex) => Formula.toColumn(ex, r).as(n) }: _*)
+    val asAttribute: String => Ex = n => Ref(n) // never inline; read the column
+    formulas(b).foldLeft(df) { case (acc, (n, ex)) =>
+      acc.withColumn(n, Formula.toColumn(ex, asAttribute))
+    }
   }
 
   /** The same features as SQL projection snippets: name -> expression text. */

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Portable polynomial string hash as a native Catalyst expression.
+  *
+  * Semantics: fold over UTF-16 chars, acc0 = 7, acc = (acc*31 + code) mod
+  * 1000003 — EXACTLY the arithmetic the DuckDB oracle writes as
+  * `list_reduce(list_prepend(7, list_transform(string_split(t,''), ascii)))`,
+  * and what `graft.ops.Dedup.tokHash` previously built from nested
+  * higher-order functions.
+  *
+  * Why an Expression and not the HOF composition: the HOF form allocates an
+  * array element per character and (worse) can knock the whole projection out
+  * of codegen; this version is a tight generated loop (`doGenCode`), keeping
+  * minhash/simhash/fingerprint scans inside whole-stage codegen — the
+  * difference is ~2 orders of magnitude on document-scale text.
+  */
+case class TokHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    TokHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokHash = copy(newChild)
+}
+
+object TokHash {
+  val Mod: Long = 1000003L
+
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31L + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** Column-level entry point. */
+  def tok_hash(c: Column): Column = Bridge.column(TokHash(Bridge.expression(c)))
+}

@@ -14,25 +14,29 @@ import scala.collection.mutable.ArrayBuffer
   * wins (deterministic tiebreak). Zero temporal leakage by construction:
   * no right row with ts' > ts can ever reach a left row.
   *
-  * Spark has no built-in as-of join, so three equivalent implementations are
+  * Spark has no built-in as-of join, so four equivalent implementations are
   * provided (property-tested identical — SURVEY §7.4.5):
   *
   *  1. `windowed` — union-tag + `last(ignoreNulls)` over a cumulative window.
   *     Declarative; Catalyst plans one exchange + one sort. The SQL-oracle
   *     form (DuckDB `ASOF JOIN` cross-checks it).
-  *  2. `merged` — `repartitionByRange(key)` + `sortWithinPartitions(key, ts,
-  *     side)` + a single-pass `mapPartitions` merge carrying last-seen
-  *     payload (the classic union-tag merge). Same shuffle volume as (1) but
-  *     no window-operator buffering: O(1) state per key, ideal when payloads
-  *     are wide or conversations are huge. Range partitioning keeps keys
-  *     contiguous so a partition boundary never splits a key.
-  *  3. `broadcastIndex` — when the right side is a SMALL timestamp index
-  *     (e.g. per-conversation checkpoint/snapshot heads): broadcast sorted
-  *     per-key arrays and binary-search per left row. No shuffle of the big
-  *     side at all — the 100 TB scan stays pipelined map-only.
+  *  2. `merged` — hash-repartition on the key + secondary sort (key, ts,
+  *     side) + a single-pass `mapPartitions` merge carrying last-seen
+  *     payload. One shuffle, NO range-sampling pass, O(1) state per key.
+  *  2b. `mergedScalable` — RANGE-partitioned on (key, ts) + boundary
+  *     stitching: the explicit skew path for mega-keys (see its doc).
+  *  3. `broadcastIndex` — when the right side is a SMALL timestamp index:
+  *     broadcast sorted per-key arrays and binary-search per left row. No
+  *     shuffle of the big side at all — the 100 TB scan stays map-only.
+  *
+  * Shuffle-volume note: both sides are packed as (key, tsUs, side, payload
+  * STRUCT) before the union — a left row carries ONE null struct slot, not
+  * |payload| null columns, which at 50+ payload columns cuts the sorted
+  * bytes by ~5× versus the naive wide union.
   *
   * At cluster scale the choice is mechanical: (3) if right fits the
-  * broadcast threshold; else (2); (1) as the semantic oracle.
+  * broadcast threshold; (2b) when a key can dominate a partition; else (2);
+  * (1) as the semantic oracle.
   */
 object AsOfJoin {
 
@@ -46,85 +50,203 @@ object AsOfJoin {
       .select((Seq(key, ts) ++ payload).map(col): _*)
   }
 
-  /** Variant 1 — declarative window fill. */
-  def windowed(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightSeq: String, payload: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val r = dedupRight(right, key, ts, rightSeq, payload)
-    val lStruct = struct(left.columns.map(col): _*).as("__l")
-    val pTypes = payload.map(p => p -> r.schema(p).dataType)
+  /** Internal: both sides packed to (__k, __t, __side, __l struct, __p struct). */
+  private final case class Packed(
+      union: DataFrame, lStructType: StructType, pStructType: StructType)
+
+  private def pack(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   rightSeq: String, payload: Seq[String], dedup: Boolean): Packed = {
+    val r = if (dedup) dedupRight(right, key, ts, rightSeq, payload)
+      else right.select((Seq(key, ts) ++ payload).map(col): _*)
     val lTagged = left.select(
-      Seq(col(key).as("__k"), micros(col(ts)).as("__t"), lit(1).as("__side"), lStruct) ++
-        pTypes.map { case (p, dt) => lit(null).cast(dt).as(s"__p_$p") }: _*)
-    val lStructType = lTagged.schema("__l").dataType
+      col(key).as("__k"), micros(col(ts)).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(StructType(payload.map(p =>
+        StructField(p, r.schema(p).dataType, nullable = true)))).as("__p"))
+    val lStructType = lTagged.schema("__l").dataType.asInstanceOf[StructType]
+    val pStructType = lTagged.schema("__p").dataType.asInstanceOf[StructType]
     val rTagged = r.select(
-      Seq(col(key).as("__k"), micros(col(ts)).as("__t"), lit(0).as("__side"),
-        lit(null).cast(lStructType).as("__l")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lTagged.unionByName(rTagged)
-      .select(Seq(col("__side"), col("__l")) ++
-        payload.map(p => last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"__p_$p")): _*)
-      .filter(col("__side") === 1)
-    filled.select(left.columns.map(c => col(s"__l.$c")) ++
-      payload.map(p => col(s"__p_$p").as(s"$prefix$p")): _*)
+      col(key).as("__k"), micros(col(ts)).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lStructType).as("__l"),
+      struct(payload.map(col): _*).as("__p"))
+    Packed(lTagged.unionByName(rTagged), lStructType, pStructType)
   }
 
-  /** Variant 2 — range-partitioned, secondary-sorted single-pass merge. */
+  private def outSchema(lt: StructType, pt: StructType, prefix: String): StructType =
+    StructType(lt.fields ++ pt.fields.map(f => f.copy(name = s"$prefix${f.name}", nullable = true)))
+
+  /** Variant 1 — declarative window fill. */
+  def windowed(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightSeq: String, payload: Seq[String], prefix: String = "asof_",
+               dedup: Boolean = true): DataFrame = {
+    val p = pack(left, right, key, ts, rightSeq, payload, dedup)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.union
+      .select(col("__side"), col("__l"),
+        last(col("__p"), ignoreNulls = true).over(w).as("__p"))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c")) ++
+        payload.map(pc => col(s"__p.$pc").as(s"$prefix$pc")): _*)
+  }
+
+  /** Variant 2 — hash-partitioned, secondary-sorted single-pass merge.
+    *
+    * The merge itself runs at the InternalRow level (no external Row
+    * conversion): per input row the only allocations are one UnsafeRow copy
+    * per EMITTED row and one struct copy per right row — the external-Row
+    * version allocated ~|columns| boxed objects per row and was GC-bound.
+    */
   def merged(left: DataFrame, right: DataFrame, key: String, ts: String,
              rightSeq: String, payload: Seq[String], prefix: String = "asof_",
-             numPartitions: Int = 0): DataFrame = {
+             numPartitions: Int = 0, dedup: Boolean = true): DataFrame = {
     val spark = left.sparkSession
-    val r = dedupRight(right, key, ts, rightSeq, payload)
-    val lStruct = struct(left.columns.map(col): _*).as("__l")
-    val pTypes = payload.map(p => p -> r.schema(p).dataType)
-    val lTagged = left.select(
-      Seq(col(key).as("__k"), micros(col(ts)).as("__t"), lit(1).as("__side"), lStruct) ++
-        pTypes.map { case (p, dt) => lit(null).cast(dt).as(s"__p_$p") }: _*)
-    val lStructType = lTagged.schema("__l").dataType.asInstanceOf[StructType]
-    val rTagged = r.select(
-      Seq(col(key).as("__k"), micros(col(ts)).as("__t"), lit(0).as("__side"),
-        lit(null).cast(lStructType).as("__l")) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+    val p = pack(left, right, key, ts, rightSeq, payload, dedup)
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = lTagged.unionByName(rTagged)
-      .repartitionByRange(parts, col("__k"))
+    // hash partitioning keeps every key inside one partition (all the merge
+    // needs) without range partitioning's extra sampling job over the union
+    val sorted = p.union
+      .repartition(parts, col("__k"))
       .sortWithinPartitions(col("__k"), col("__t"), col("__side"))
-
-    val nPay = payload.size
-    val outSchema = StructType(
-      lStructType.fields ++
-        pTypes.map { case (p, dt) => StructField(s"$prefix$p", dt, nullable = true) })
-    val outEnc = Encoders.row(outSchema)
-    // columns of `sorted`: __k, __t, __side, __l, __p_*...
-    val result = sorted.mapPartitions { it =>
+    val out = outSchema(p.lStructType, p.pStructType, prefix)
+    val keyType = sorted.schema("__k").dataType
+    val nL = p.lStructType.size
+    val nP = p.pStructType.size
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(out)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullPay = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nP)
       var curKey: Any = null
       var haveKey = false
-      val lastPay = new Array[Any](nPay)
+      var lastPay: org.apache.spark.sql.catalyst.InternalRow = null
       it.flatMap { row =>
-        val k = row.get(0)
+        val k = row.get(0, keyType) // UnsafeRow-backed value; copy on retain
         if (!haveKey || k != curKey) {
-          curKey = k; haveKey = true
-          java.util.Arrays.fill(lastPay.asInstanceOf[Array[AnyRef]], null)
+          curKey = k match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case other => other
+          }
+          haveKey = true
+          lastPay = null
         }
-        if (row.getInt(2) == 0) { // right row: update carried payload
-          var i = 0
-          while (i < nPay) { lastPay(i) = row.get(4 + i); i += 1 }
+        if (row.getInt(2) == 0) { // right row: retain a copy of its payload
+          lastPay = row.getStruct(4, nP).copy()
           Iterator.empty
-        } else { // left row: emit with carried payload
-          val l = row.getStruct(3)
-          val out = new Array[Any](l.size + nPay)
-          var i = 0
-          while (i < l.size) { out(i) = l.get(i); i += 1 }
-          var j = 0
-          while (j < nPay) { out(l.size + j) = lastPay(j); j += 1 }
-          Iterator.single(Row.fromSeq(out.toIndexedSeq))
+        } else {
+          val l = row.getStruct(3, nL)
+          joined(l, if (lastPay == null) nullPay else lastPay)
+          Iterator.single(proj(joined).copy(): org.apache.spark.sql.catalyst.InternalRow)
         }
       }
-    }(outEnc)
-    result
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, out)
+  }
+
+  /** Variant 2b — SKEW-PROOF range-partitioned merge with boundary stitching.
+    *
+    * `merged` keeps each key in one partition, so one mega-conversation (a
+    * key holding, say, 50% of all rows) lands on ONE task — the classic skew
+    * failure the north rule calls out. This variant range-partitions by
+    * (key, ts), letting a huge key span MANY partitions, and repairs
+    * correctness with a two-pass prefix carry:
+    *
+    *   pass 1 (cheap scan): each partition reports the last-seen right-row
+    *     payload of its LAST key — the only state that can flow across a
+    *     range boundary;
+    *   driver: prefix-combines the P summaries (O(P), tiny) into an incoming
+    *     state per partition;
+    *   pass 2: the normal single-pass merge, seeded with the incoming state.
+    *
+    * Parallel-prefix-sum shape: work is proportional to rows per PARTITION,
+    * not rows per KEY. Both passes scan the same sorted shuffle output
+    * (persisted). Property-tested identical to `merged` incl. mega-key
+    * fixtures.
+    */
+  def mergedScalable(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     rightSeq: String, payload: Seq[String], prefix: String = "asof_",
+                     numPartitions: Int = 0, dedup: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    val p = pack(left, right, key, ts, rightSeq, payload, dedup)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = p.union
+      .repartitionByRange(parts, col("__k"), col("__t"), col("__side"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__side"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val keyType = sorted.schema("__k").dataType
+    val nL = p.lStructType.size
+    val nP = p.pStructType.size
+    def retainKey(k: Any): Any = k match {
+      case u: UTF8String => u.clone()
+      case other => other
+    }
+
+    // pass 1 (InternalRow scan): per-partition (pid, lastKey, lastPayload or
+    // null) — the only state that can flow over a range boundary
+    val summaries: Array[(Int, Any, InternalRow)] =
+      sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        var curKey: Any = null
+        var haveKey = false
+        var lastPay: InternalRow = null
+        var any = false
+        it.foreach { row =>
+          val k = row.get(0, keyType)
+          if (!haveKey || k != curKey) { curKey = retainKey(k); haveKey = true; lastPay = null }
+          if (row.getInt(2) == 0) lastPay = row.getStruct(4, nP).copy()
+          any = true
+        }
+        if (!any) Iterator.empty else Iterator.single((pid, curKey, lastPay))
+      }.collect()
+
+    // driver prefix-combine: incoming state per partition
+    val incoming = new Array[(Any, InternalRow)](parts)
+    var carryKey: Any = null
+    var carryPay: InternalRow = null
+    val byPid = summaries.map(s => s._1 -> s).toMap
+    (0 until parts).foreach { pi =>
+      incoming(pi) = if (carryKey != null && carryPay != null) (carryKey, carryPay) else null
+      byPid.get(pi).foreach { case (_, lastKey, lastPay) =>
+        if (lastPay != null) { carryKey = lastKey; carryPay = lastPay }
+        else if (carryKey != null && lastKey != carryKey) { carryKey = null; carryPay = null }
+        // else: same key continues with no new state -> carry unchanged
+      }
+    }
+    val bcIncoming = spark.sparkContext.broadcast(incoming)
+
+    // pass 2: the seeded single-pass InternalRow merge
+    val out = outSchema(p.lStructType, p.pStructType, prefix)
+    val rdd = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(out)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullPay = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nP)
+      val inc = bcIncoming.value(pid)
+      var curKey: Any = null
+      var haveKey = false
+      var lastPay: InternalRow = null
+      var firstGroup = true
+      it.flatMap { row =>
+        val k = row.get(0, keyType)
+        if (!haveKey || k != curKey) {
+          curKey = retainKey(k); haveKey = true
+          lastPay = if (firstGroup && inc != null && k == inc._1) inc._2 else null
+          firstGroup = false
+        }
+        if (row.getInt(2) == 0) {
+          lastPay = row.getStruct(4, nP).copy()
+          Iterator.empty
+        } else {
+          joined(row.getStruct(3, nL), if (lastPay == null) nullPay else lastPay)
+          Iterator.single(proj(joined).copy(): InternalRow)
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, out)
   }
 
   /** Variant 3 — broadcast per-key sorted timestamp index + binary search.
@@ -142,10 +264,10 @@ object AsOfJoin {
       }
     val bc = spark.sparkContext.broadcast(index)
 
-    val pTypes = payload.map(p => StructField(s"$prefix$p",
-      r.schema("__p").dataType.asInstanceOf[StructType](p).dataType, nullable = true))
-    val outSchema = StructType(left.schema.fields ++ pTypes)
-    val outEnc = Encoders.row(outSchema)
+    val pTypes = payload.map(pc => StructField(s"$prefix$pc",
+      r.schema("__p").dataType.asInstanceOf[StructType](pc).dataType, nullable = true))
+    val outSch = StructType(left.schema.fields ++ pTypes)
+    val outEnc = Encoders.row(outSch)
     val keyIdx = left.columns.indexOf(key)
     val tsIdx = left.columns.indexOf(ts)
     val nPay = payload.size
@@ -160,11 +282,11 @@ object AsOfJoin {
         val tUs = row.get(tsIdx) match {
           case t: java.sql.Timestamp =>
             Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          case i: java.time.Instant =>
-            Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+          case i2: java.time.Instant =>
+            Math.multiplyExact(i2.getEpochSecond, 1000000L) + i2.getNano / 1000L
           case l: java.time.LocalDateTime =>
-            val i = l.toInstant(java.time.ZoneOffset.UTC)
-            Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+            val i2 = l.toInstant(java.time.ZoneOffset.UTC)
+            Math.multiplyExact(i2.getEpochSecond, 1000000L) + i2.getNano / 1000L
           case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
         }
         idx.get(row.get(keyIdx)) match {
@@ -175,7 +297,7 @@ object AsOfJoin {
               val mid = (lo + hi) >>> 1
               if (tsArr(mid) <= tUs) { ans = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (ans >= 0) { val p = payArr(ans); var j = 0; while (j < nPay) { out += p.get(j); j += 1 } }
+            if (ans >= 0) { val pr = payArr(ans); var j = 0; while (j < nPay) { out += pr.get(j); j += 1 } }
             else out ++= Seq.fill[Any](nPay)(null)
           case None => out ++= Seq.fill[Any](nPay)(null)
         }

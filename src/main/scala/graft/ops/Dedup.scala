@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Portable token hash: left-fold polynomial over chars, mod 1000003. */
-  def tokHash(t: Column): Column =
-    aggregate(split(t, ""), lit(7L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000003L)))
+  /** Portable token hash: left-fold polynomial over chars, mod 1000003.
+    * Native codegen'd expression (graft.functions.TokHash) — the HOF
+    * composition it replaces was ~100× slower (interpreted char loop). */
+  def tokHash(t: Column): Column = graft.functions.TokHash.tok_hash(t)
 
   /** Exact dedup: one survivor row (min id) per distinct text + dup count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -41,10 +41,13 @@ object Dedup {
       s => length(s) > 0)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded affine permutations,
-    * the min over shingle hashes of (a*h + b) mod p. */
-  def minHashSig(text: Column, k: Int, numHashes: Int): Column = {
-    val hashes = transform(shingles(text, k), s => tokHash(s))
+  /** Shingle-hash array (compute ONCE per row; reuse across hash families). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => tokHash(s))
+
+  /** MinHash signature from a stored shingle-hash array: for each of
+    * `numHashes` seeded affine permutations, the min of (a*h + b) mod p. */
+  def minHashSigFromHashes(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31-1 (Mersenne prime)
     val sig = (0 until numHashes).map { j =>
       val a = 1223543677L + 2654435761L * j
@@ -54,6 +57,9 @@ object Dedup {
     array(sig: _*)
   }
 
+  def minHashSig(text: Column, k: Int, numHashes: Int): Column =
+    minHashSigFromHashes(shingleHashes(text, k), numHashes)
+
   /** MinHash+LSH near-dup candidate pairs: band the signature, bucket-join,
     * emit (id_a < id_b) pairs with their band. `bands * rowsPerBand` must
     * equal the signature length. */
@@ -61,7 +67,11 @@ object Dedup {
                       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = df.select(col(idCol), minHashSig(col(textCol), shingleK, numHashes).as("__sig"))
+    // stage the shingle-hash array so the 12 permutations share ONE
+    // tokenization+hash pass (CollapseProject keeps non-cheap producers
+    // with >1 consumer un-inlined)
+    val sig = df.select(col(idCol), shingleHashes(col(textCol), shingleK).as("__hs"))
+      .select(col(idCol), minHashSigFromHashes(col("__hs"), numHashes).as("__sig"))
     val banded = sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
         array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
@@ -74,9 +84,8 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** 64-bit SimHash over token hashes (bit votes weighted +1/-1). */
-  def simHash(text: Column): Column = {
-    val hashes = transform(split(text, " "), t => tokHash(t) * lit(2654435761L)) // spread bits
+  /** 32-bit SimHash from a stored token-hash array (bit votes ±1). */
+  def simHashFromHashes(hashes: Column): Column = {
     val bits = (0 until 32).map { b =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -85,8 +94,16 @@ object Dedup {
     bits.reduce((a, b) => a + b)
   }
 
+  /** Token-hash array with bit spreading (compute once; 32 bit votes reuse it). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => tokHash(t) * lit(2654435761L))
+
+  def simHash(text: Column): Column = simHashFromHashes(tokenHashes(text))
+
   def withSimHash(df: DataFrame, textCol: String = "text", out: String = "simhash"): DataFrame =
-    df.withColumn(out, simHash(col(textCol)))
+    df.withColumn("__th", tokenHashes(col(textCol)))
+      .withColumn(out, simHashFromHashes(col("__th")))
+      .drop("__th")
 
   /** Exact token-set Jaccard for candidate pairs (precision verification).
     * `pairs` carries (id_a, id_b); texts joined in from `df`. Both joins are

@@ -56,15 +56,12 @@ object TextAnalysis {
   }
 
   /** Deterministic document fingerprint: order-sensitive polynomial hash over
-    * token hashes (a rolling-hash analog), pure Catalyst arithmetic —
-    * cross-engine reproducible (no murmur dependence). */
-  def fingerprint(text: Column): Column = {
-    val tokHash = (t: Column) =>
-      aggregate(split(t, ""), lit(7L),
-        (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000003L)))
+    * token hashes (a rolling-hash analog) — cross-engine reproducible (no
+    * murmur dependence); the per-token hash is the native codegen'd
+    * graft.functions.TokHash. */
+  def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(131L) + tokHash(t), lit(1000003L)))
-  }
+      (acc, t) => pmod(acc * lit(131L) + graft.functions.TokHash.tok_hash(t), lit(1000003L)))
 
   def withFingerprint(df: DataFrame, textCol: String = "text", out: String = "fingerprint"): DataFrame =
     df.withColumn(out, fingerprint(col(textCol)))

@@ -60,6 +60,36 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("skew-proof mergedScalable equals the oracle, incl. a mega-key spanning many partitions") {
+    // one key holds ~90% of rows -> with 8 range partitions on (key, ts) it
+    // MUST span several partitions, exercising the boundary stitching
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(5).toLong + 100L else 7L
+      L(k, i.toLong, t(rnd.nextInt(5000).toLong))
+    }
+    val right = (0 until 300).map { i =>
+      val k = if (i % 10 == 0) rnd.nextInt(5).toLong + 100L else 7L
+      R(k, t(rnd.nextInt(5000).toLong), (10000 + i).toLong, rnd.nextInt(100).toDouble)
+    }
+    val expected = inMemory(left, right)
+    val got = run((l, r) =>
+      AsOfJoin.mergedScalable(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"),
+        numPartitions = 8), left, right)
+    assert(got == expected)
+  }
+
+  test("mergedScalable on random scenarios equals the in-memory oracle") {
+    for (seed <- Seq(4L, 5L)) {
+      val (left, right) = scenario(seed, nKeys = 7, nLeft = 300, nRight = 120)
+      val expected = inMemory(left, right)
+      val got = run((l, r) =>
+        AsOfJoin.mergedScalable(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"),
+          numPartitions = 5), left, right)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("inclusive at equal timestamps; greatest-seq tiebreak among right dups") {
     val left = Seq(L(1, 10, t(100)))
     val right = Seq(R(1, t(100), 1001, 5.0), R(1, t(100), 1002, 7.0), R(1, t(101), 1003, 9.0))
