@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassifier}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.CategoricalOps
+
+/** Evaluation-framework analogs (SURVEY §2.9) on spark.ml — the reference's
+  * sklearn pipeline re-expressed as distributed dataflow. Documented
+  * deviations (BASELINE.md): solvers differ (coefficient-level parity is not
+  * promised — feature-level parity is the contract); SMOTE is replaced by a
+  * deterministic within-class interpolation oversampler; XGBoost/CatBoost map
+  * to GBTClassifier.
+  */
+object Models {
+
+  /** Standard-scale feature columns: (x - mean) / stddev_samp, fit on `fit`
+    * (train folds only — `LR_Advanced.py:621-623`), applied to `to`.
+    * One aggregation pass for every column. */
+  def standardScale(fit: DataFrame, to: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__m_$c"), stddev_samp(col(c)).as(s"__s_$c")))
+    val th = fit.agg(aggs.head, aggs.tail: _*)
+    val joined = to.crossJoin(broadcast(th))
+    joined.select(to.columns.map { c =>
+      if (cols.contains(c))
+        when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
+          .otherwise(0.0).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Deterministic minority-class oversampler (SMOTE analog,
+    * `LR_Advanced.py:626-627`): pairs consecutive minority rows (ordered by
+    * a Knuth scramble of the id) and emits midpoint interpolations until the
+    * classes balance. Distributed: one window + generator, no kNN search —
+    * a documented approximation of SMOTE's k-NN interpolation. */
+  def oversampleInterpolate(df: DataFrame, idCol: String, labelCol: String,
+                            features: Seq[String]): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    if (counts.size < 2) return df
+    val (minLabel, minN) = counts.minBy(_._2)
+    val maxN = counts.values.max
+    val need = (maxN - minN).toInt
+    if (need <= 0) return df
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
+    val minority = df.filter(col(labelCol) === minLabel)
+      .withColumn("__rn", row_number().over(w))
+    val next = features.map(c => lead(col(c), 1).over(w).as(s"__n_$c")) :+
+      lead(col(idCol), 1).over(w).as("__n_id")
+    val paired = minority.select((minority.columns.map(col) ++ next).toIndexedSeq: _*)
+      .filter(col("__n_id").isNotNull)
+    val reps = (need + minN.toInt - 1) / math.max(1, minN.toInt - 1)
+    val synth = paired
+      .withColumn("__rep", explode(sequence(lit(1), lit(math.max(1, reps)))))
+      .limit(need)
+      .select(df.columns.map { c =>
+        if (features.contains(c))
+          ((col(c) + col(s"__n_$c")) / 2.0).as(c) // midpoint interpolation
+        else if (c == idCol) (-col("__rn").cast("long") * 100000L - col("__rep")).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+    df.unionByName(synth)
+  }
+
+  private def assemble(df: DataFrame, features: Seq[String], labelCol: String): DataFrame =
+    new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+      .transform(df.na.fill(0.0))
+      .withColumn("label", col(labelCol).cast("double"))
+
+  /** L2 logistic regression (`LR_Advanced.py:637-644`, C=1.0 liblinear →
+    * regParam = 1/(C·n)). Returns (model, weighted coefficients by name). */
+  def logistic(df: DataFrame, features: Seq[String], labelCol: String,
+               maxIter: Int = 100): (LogisticRegressionModel, Map[String, Double]) = {
+    val data = assemble(df, features, labelCol)
+    val n = data.count()
+    val lr = new LogisticRegression().setMaxIter(maxIter)
+      .setRegParam(1.0 / math.max(1L, n).toDouble).setElasticNetParam(0.0)
+    val m = lr.fit(data)
+    (m, features.zip(m.coefficients.toArray).toMap)
+  }
+
+  /** Recursive feature elimination (`LR_Advanced.py:629-634`): drop the
+    * min-|coef| feature until `target` remain. Driver loop; each step one
+    * distributed fit. */
+  def rfe(df: DataFrame, features: Seq[String], labelCol: String, target: Int): Seq[String] = {
+    var cur = features
+    while (cur.size > target) {
+      val (_, coefs) = logistic(df, cur, labelCol, maxIter = 25)
+      val weakest = cur.minBy(c => math.abs(coefs(c)))
+      cur = cur.filterNot(_ == weakest)
+    }
+    cur
+  }
+
+  /** Per-fold CV metrics for a model family (stratified deterministic folds).
+    * Returns (fold, accuracy) rows collected — the reference's printed
+    * mean±std becomes a tiny driver-side aggregate. */
+  def cvAccuracy(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
+                 k: Int = 5, family: String = "lr"): Seq[(Int, Double)] = {
+    val folded = CategoricalOps.stratifiedFolds(df, idCol, labelCol, k)
+    (0 until k).map { f =>
+      val train = assemble(folded.filter(col("fold") =!= f), features, labelCol)
+      val test = assemble(folded.filter(col("fold") === f), features, labelCol)
+      val model = family match {
+        case "lr" => new LogisticRegression().setMaxIter(50).fit(train)
+        case "dt" => new DecisionTreeClassifier().setMaxDepth(6).setSeed(42L).fit(train)
+        case "rf" => new RandomForestClassifier().setNumTrees(50).setMaxDepth(10).setSeed(42L).fit(train)
+        case "gbt" => new GBTClassifier().setMaxIter(20).setMaxDepth(5).setSeed(42L).fit(train)
+      }
+      val pred = model.transform(test)
+      val acc = pred.agg(
+        (sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("acc")).collect()(0).getDouble(0)
+      (f, acc)
+    }
+  }
+
+  /** OOF soft-voting / stacking base: out-of-fold probability column per
+    * model family (`directory/Stacking_SMOTE_XGB_LR_RF.py:67-85`). */
+  def oofProbabilities(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
+                       k: Int = 5): DataFrame = {
+    val folded = CategoricalOps.stratifiedFolds(df, idCol, labelCol, k).cache()
+    val p1 = udf((v: Vector) => v(1))
+    val perFold = (0 until k).map { f =>
+      val train = assemble(folded.filter(col("fold") =!= f), features, labelCol)
+      val test = assemble(folded.filter(col("fold") === f), features, labelCol)
+      val lr = new LogisticRegression().setMaxIter(50).fit(train)
+      val rf = new RandomForestClassifier().setNumTrees(50).setSeed(42L).fit(train)
+      val a = lr.transform(test).select(col(idCol), p1(col("probability")).as("p_lr"))
+      val b = rf.transform(test).select(col(idCol).as("__id2"), p1(col("probability")).as("p_rf"))
+      a.join(b, a(idCol) === b("__id2")).drop("__id2")
+    }
+    val oof = perFold.reduce(_.unionByName(_)) // OOF concat (np.concatenate analog)
+    folded.join(oof, idCol)
+      .withColumn("p_vote", (col("p_lr") + col("p_rf")) / 2.0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Models
+import graft.ops.Skew
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = {
+    // separable synthetic: label 1 iff x1 + x2 > 10 (deterministic)
+    val rnd = new scala.util.Random(42)
+    (0 until 400).map { i =>
+      val x1 = rnd.nextInt(10).toDouble
+      val x2 = rnd.nextInt(10).toDouble
+      (i.toLong, x1, x2, rnd.nextInt(5).toDouble, if (x1 + x2 > 10) 1 else 0)
+    }.toDF("id", "x1", "x2", "noise", "y").cache()
+  }
+
+  test("standard scaling: train-fit stats, zero-variance guarded") {
+    val withConst = data.withColumn("c0", lit(5.0))
+    val scaled = Models.standardScale(withConst, withConst, Seq("x1", "x2", "c0"))
+    val stats = scaled.agg(avg("x1"), stddev_samp("x1"), avg("c0")).collect()(0)
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
+    assert(stats.getDouble(2) == 0.0) // constant column -> 0, not NaN
+  }
+
+  test("deterministic oversampler balances classes and interpolates") {
+    val counts0 = data.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val over = Models.oversampleInterpolate(data, "id", "y", Seq("x1", "x2", "noise"))
+    val counts1 = over.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts1.values.max == counts1.values.min ||
+      math.abs(counts1.values.max - counts1.values.min) < counts0.values.max / 10)
+    // deterministic
+    val again = Models.oversampleInterpolate(data, "id", "y", Seq("x1", "x2", "noise"))
+    assert(over.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
+  test("logistic regression learns the separable rule; RFE drops the noise feature") {
+    val (_, coefs) = Models.logistic(data, Seq("x1", "x2", "noise"), "y")
+    assert(coefs("x1") > 0 && coefs("x2") > 0)
+    assert(math.abs(coefs("noise")) < math.min(coefs("x1"), coefs("x2")))
+    val kept = Models.rfe(data, Seq("x1", "x2", "noise"), "y", target = 2)
+    assert(kept.toSet == Set("x1", "x2"))
+  }
+
+  test("cv accuracy high on separable data for all model families") {
+    Seq("lr", "dt").foreach { fam =>
+      val accs = Models.cvAccuracy(data, Seq("x1", "x2"), "y", "id", k = 3, family = fam)
+      assert(accs.size == 3)
+      val mean = accs.map(_._2).sum / accs.size
+      assert(mean > 0.9, s"$fam mean acc $mean")
+    }
+  }
+
+  test("oof probabilities: one row per input, vote = mean of model probs") {
+    val oof = Models.oofProbabilities(data, Seq("x1", "x2"), "y", "id", k = 3)
+    assert(oof.count() == data.count())
+    val r = oof.select("p_lr", "p_rf", "p_vote").collect()
+    r.foreach(x => assert(math.abs((x.getDouble(0) + x.getDouble(1)) / 2.0 - x.getDouble(2)) < 1e-12))
+    // OOF separability: mean prob of positives > mean prob of negatives
+    val m = oof.groupBy("y").agg(avg("p_vote")).collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(m(1) > m(0))
+  }
+
+  test("salted aggregation equals direct aggregation (incl. mega-key)") {
+    val skewed = (0 until 5000).map { i =>
+      val k = if (i % 10 == 0) i % 7 else 3 // key 3 holds 90%
+      (k.toLong, i.toLong, (i % 100).toLong)
+    }.toDF("k", "ts", "v")
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s2 = Skew.saltedAggregate(skewed.withColumn("one", lit(1L)), Seq("k"), "ts", 8,
+      Seq(Skew.sumL("v"), Skew.sumL("one")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s2 == direct)
+    val sm = Skew.saltedMean(skewed, Seq("k"), "ts", 8, "v", "m")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dm = skewed.groupBy("k")
+      .agg((sum(col("v").cast("long")).cast("double") / count(lit(1)).cast("double")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sm == dm)
+  }
+}
