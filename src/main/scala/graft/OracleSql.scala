@@ -480,6 +480,24 @@ object OracleSql {
        |FROM entity
        |ORDER BY total_activity DESC, user_id LIMIT 20""".stripMargin
 
+  /** Deterministic double cosine between two list expressions (left-to-right
+    * folds — mirrors Similarity.cosine exactly). */
+  private def sqlCosine(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
+  /** Blocked (label-keyed) near-duplicate pairs with exact cosine verify. */
+  val qEmbedSimilar: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${sqlCosine("a.embedding", "b.embedding")} AS cos_sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

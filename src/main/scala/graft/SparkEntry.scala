@@ -164,6 +164,9 @@ object SparkEntry {
       TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
           col("stopword_ratio"), col("avg_token_len"))),
+    "q_embed_similar" -> ((s, dir) =>
+      Similarity.nearDupPairs(Pipelines.table(s, dir, "embeddings"),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.4)),
     "q_similarity_topk" -> ((s, dir) => {
       val emb = Pipelines.table(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -207,6 +210,7 @@ object SparkEntry {
     "q_minhash_sig" -> OracleSql.qMinHashSig,
     "q_dedup_exact" -> OracleSql.qDedupExact,
     "q_token_stats" -> OracleSql.qTokenStats,
-    "q_similarity_topk" -> OracleSql.qSimilarityTopk
+    "q_similarity_topk" -> OracleSql.qSimilarityTopk,
+    "q_embed_similar" -> OracleSql.qEmbedSimilar
   )
 }

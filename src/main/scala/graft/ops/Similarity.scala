@@ -40,6 +40,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Blocked near-duplicate pairs: equi-join on a blocking key (cluster
+    * label, LSH bucket, …) then exact cosine filter — the standard
+    * candidate-then-verify shape that avoids the O(N²) cross product. The
+    * blocking side is a plain shuffle join, so it scales with the block-size
+    * distribution, not the table square. */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String, blockCol: String,
+                   threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(blockCol).as("__blk"), col(embCol).as("__ea"))
+    val b = df.select(col(idCol).as("id_b"), col(blockCol).as("__blk"), col(embCol).as("__eb"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Random-hyperplane (SimHash-style) signature for LSH bucketing: `bits`
     * pseudo-hyperplanes derived from a seeded deterministic weight pattern;
     * bucket id packs the sign bits. Same-bucket vectors are cosine-close with
