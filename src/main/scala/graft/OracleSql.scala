@@ -369,6 +369,17 @@ object OracleSql {
        |FROM hashes""".stripMargin
   }
 
+  /** Degree-2 interaction-only polynomial features over the entity stats
+    * (PolynomialFeatures interaction_only, `LR_Advanced.py:511-528`) —
+    * products of deterministic doubles, generated for all C(8,2) pairs of
+    * the avg/count columns. */
+  val qInteractions: String = {
+    val cols = quartet.map(q => s"${q}_avg") ++ quartet.map(q => s"${q}_count")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield
+      s"CAST(${cols(i)} AS DOUBLE) * CAST(${cols(j)} AS DOUBLE) AS ${cols(i)}_x_${cols(j)}"
+    s"WITH $entityCte\nSELECT user_id,\n  ${pairs.mkString(",\n  ")}\nFROM entity"
+  }
+
   /** Scored-entity CTE: conversion_potential feature as score + label
     * (input to the metrics-operator oracles). */
   private val scoredCte: String = {

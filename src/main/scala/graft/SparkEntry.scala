@@ -98,6 +98,13 @@ object SparkEntry {
     "q_label_encode" -> ((s, dir) =>
       CategoricalOps.labelEncode(Pipelines.table(s, dir, "events"), "event_type")
         .select(col("event_id"), col("event_type"), col("event_type_code"))),
+    "q_interactions" -> ((s, dir) => {
+      val cols = Pipelines.quartet.map(q => s"${q}_avg") ++ Pipelines.quartet.map(q => s"${q}_count")
+      val withInter = StatOps.pairwiseInteractions(Pipelines.entity(s, dir), cols)
+      val interNames = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield s"${cols(i)}_x_${cols(j)}"
+      withInter.select((col("user_id") +: interNames.map(col)).toIndexedSeq: _*)
+    }),
     "q_stratified_folds" -> ((s, dir) =>
       CategoricalOps.stratifiedFolds(Pipelines.entity(s, dir), "user_id", "purchase_yn", 5)
         .select(col("user_id"), col("purchase_yn"), col("fold"))),
@@ -196,6 +203,7 @@ object SparkEntry {
     "q_variance_screen" -> OracleSql.qVarianceScreen,
     "q_label_encode" -> OracleSql.qLabelEncode,
     "q_stratified_folds" -> OracleSql.qStratifiedFolds,
+    "q_interactions" -> OracleSql.qInteractions,
     "q_ts_parse" -> OracleSql.qTsParse,
     "q_top_entities" -> OracleSql.qTopEntities,
     "q_confusion" -> OracleSql.qConfusion,

@@ -120,6 +120,34 @@ object Models {
     }
   }
 
+  /** PCA to `k` components (`SMOTE_test/smote_visualization.py:69-103` uses
+    * 2 components for visualization; here a general projection). */
+  def pca(df: DataFrame, features: Seq[String], k: Int): DataFrame = {
+    val data = assemble(df, features, labelCol = features.head) // label unused
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pca").setK(k)
+      .fit(data).transform(data).drop("features", "label")
+  }
+
+  /** Hyperparameter search analog of RandomizedSearchCV
+    * (`directory/XGB_RF_LR_CV.py:82-100`): grid over regParam with k-fold CV
+    * on AUC, returns (bestRegParam, bestAuc). Deterministic (no random
+    * sampling — the full small grid is evaluated). */
+  def tuneLogistic(df: DataFrame, features: Seq[String], labelCol: String,
+                   grid: Seq[Double] = Seq(0.001, 0.01, 0.1), k: Int = 3): (Double, Double) = {
+    val data = assemble(df, features, labelCol)
+    val lr = new LogisticRegression().setMaxIter(50)
+    val params = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(lr.regParam, grid.toArray).build()
+    val cv = new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator())
+      .setEstimatorParamMaps(params).setNumFolds(k).setSeed(42L)
+    val m = cv.fit(data)
+    val best = m.avgMetrics.zip(grid).maxBy(_._1)
+    (best._2, best._1)
+  }
+
   /** OOF soft-voting / stacking base: out-of-fold probability column per
     * model family (`directory/Stacking_SMOTE_XGB_LR_RF.py:67-85`). */
   def oofProbabilities(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,

@@ -64,6 +64,22 @@ class MlSpec extends SparkSpec {
     assert(m(1) > m(0))
   }
 
+  test("pairwise interactions: all C(n,2) products, exact values") {
+    val df = Seq((1L, 2.0, 3.0, 5.0)).toDF("id", "a", "b", "c")
+    val got = graft.ops.StatOps.pairwiseInteractions(df, Seq("a", "b", "c")).collect()(0)
+    assert(got.getDouble(got.fieldIndex("a_x_b")) == 6.0)
+    assert(got.getDouble(got.fieldIndex("a_x_c")) == 10.0)
+    assert(got.getDouble(got.fieldIndex("b_x_c")) == 15.0)
+  }
+
+  test("pca projects to k components; tuning returns a grid member") {
+    val proj = Models.pca(data, Seq("x1", "x2", "noise"), k = 2)
+    assert(proj.count() == data.count())
+    assert(proj.select("pca").head().getAs[org.apache.spark.ml.linalg.Vector](0).size == 2)
+    val (bestReg, bestAuc) = Models.tuneLogistic(data, Seq("x1", "x2"), "y")
+    assert(Seq(0.001, 0.01, 0.1).contains(bestReg) && bestAuc > 0.9)
+  }
+
   test("salted aggregation equals direct aggregation (incl. mega-key)") {
     val skewed = (0 until 5000).map { i =>
       val k = if (i % 10 == 0) i % 7 else 3 // key 3 holds 90%
