@@ -63,6 +63,17 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
   }
 
+  test("tok_hash registered as a SQL function matches the Column API") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT tok_hash('the quick brown fox') AS h").collect()(0).getLong(0)
+    val viaCol = docs.limit(1).select(graft.functions.TokHash.tok_hash(lit("the quick brown fox")))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+    // and equals the plain-Scala fold (same arithmetic the oracle SQL uses)
+    val expected = "the quick brown fox".foldLeft(7L)((a, c) => (a * 31 + c) % 1000003L)
+    assert(viaSql == expected)
+  }
+
   test("lsh topk agrees with brute force on the shared candidates") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
