@@ -264,32 +264,40 @@ object AsOfJoin {
       }
     val bc = spark.sparkContext.broadcast(index)
 
+    val pStructType = r.schema("__p").dataType.asInstanceOf[StructType]
     val pTypes = payload.map(pc => StructField(s"$prefix$pc",
-      r.schema("__p").dataType.asInstanceOf[StructType](pc).dataType, nullable = true))
+      pStructType(pc).dataType, nullable = true))
     val outSch = StructType(left.schema.fields ++ pTypes)
-    val outEnc = Encoders.row(outSch)
-    val keyIdx = left.columns.indexOf(key)
-    val tsIdx = left.columns.indexOf(ts)
     val nPay = payload.size
-    left.mapPartitions { it =>
+    val nL = left.schema.size
+    val keyType = left.schema(key).dataType
+    // probe side stays InternalRow: tag (__kp, __tp) with a projection, then
+    // binary-search the broadcast index per row — map-only, no shuffle, and
+    // no external-Row boxing on the 100 TB side
+    val tagged = left.select(
+      struct(left.columns.map(col): _*).as("__l"),
+      col(key).as("__kp"), micros(col(ts)).as("__tp"))
+    import org.apache.spark.sql.catalyst.InternalRow
+    val rdd = tagged.queryExecution.toRdd.mapPartitions { it =>
       val idx = bc.value
-      it.map { row =>
-        val out = new ArrayBuffer[Any](row.size + nPay)
-        var i = 0
-        while (i < row.size) { out += row.get(i); i += 1 }
-        // TIMESTAMP reads back as java.sql.Timestamp / Instant; TIMESTAMP_NTZ
-        // as LocalDateTime (interpreted as UTC, matching the session tz).
-        val tUs = row.get(tsIdx) match {
-          case t: java.sql.Timestamp =>
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          case i2: java.time.Instant =>
-            Math.multiplyExact(i2.getEpochSecond, 1000000L) + i2.getNano / 1000L
-          case l: java.time.LocalDateTime =>
-            val i2 = l.toInstant(java.time.ZoneOffset.UTC)
-            Math.multiplyExact(i2.getEpochSecond, 1000000L) + i2.getNano / 1000L
-          case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outSch)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullPay = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nPay)
+      // broadcast payload Rows -> InternalRows once per partition
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(pStructType)
+      val internIdx: Map[Any, (Array[Long], Array[InternalRow])] =
+        idx.map { case (k, (tsArr, rows)) =>
+          k -> (tsArr, rows.map(r0 => conv(r0).asInstanceOf[InternalRow]))
         }
-        idx.get(row.get(keyIdx)) match {
+      it.map { row =>
+        val l = row.getStruct(0, nL)
+        val k = row.get(1, keyType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        }
+        val tUs = row.getLong(2)
+        val pay = internIdx.get(k) match {
           case Some((tsArr, payArr)) =>
             // greatest j with tsArr(j) <= tUs
             var lo = 0; var hi = tsArr.length - 1; var ans = -1
@@ -297,12 +305,13 @@ object AsOfJoin {
               val mid = (lo + hi) >>> 1
               if (tsArr(mid) <= tUs) { ans = mid; lo = mid + 1 } else hi = mid - 1
             }
-            if (ans >= 0) { val pr = payArr(ans); var j = 0; while (j < nPay) { out += pr.get(j); j += 1 } }
-            else out ++= Seq.fill[Any](nPay)(null)
-          case None => out ++= Seq.fill[Any](nPay)(null)
+            if (ans >= 0) payArr(ans) else nullPay
+          case None => nullPay
         }
-        Row.fromSeq(out.toIndexedSeq)
+        joined(l, pay)
+        proj(joined).copy(): InternalRow
       }
-    }(outEnc)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, outSch)
   }
 }
