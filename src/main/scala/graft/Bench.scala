@@ -60,9 +60,19 @@ object Bench {
 
     if (sys.env.contains("SPARK_GRAFT_TPS_ONLY")) {
       val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val maxReps = math.max(minReps, 8)
       Bench.pitThroughput(spark, nConvs = 200, parts = cpus.toInt) // warm-up
-      val runs = (1 to reps).map(_ => pitThroughput(spark, convs, cpus.toInt * 2))
+      // adaptive steady state: keep measuring while throughput still improves
+      // >10% over the best so far (JIT/codegen/GC warm-up length varies)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var continue = true
+      while (continue && runs.size < maxReps) {
+        val r = pitThroughput(spark, convs, cpus.toInt * 2)
+        val prevBest = if (runs.isEmpty) 0.0 else runs.map(_._2).max
+        runs += r
+        continue = runs.size < minReps || r._2 > prevBest * 1.10
+      }
       val n = runs.head._1
       val best = runs.map(_._2).max
       val all = runs.map(_._2).mkString("[", ",", "]")
