@@ -342,16 +342,17 @@ object OracleSql {
        |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM s""".stripMargin
   }
 
-  /** MinHash signature (k=3 shingles, 12 hashes) rendered as a joined string
-    * (mirrors Dedup.minHashSig; string form keeps the compare portable). */
-  val qMinHashSig: String = {
+  /** Shared CTE chain: k=3 word shingles → portable hashes → 12-permutation
+    * MinHash signature list `sig(doc_id, sg)` (mirrors Dedup.minHashSig /
+    * the native graft.functions.MinHashSig arithmetic exactly). */
+  private val minHashSigCte: String = {
     val p = 2147483647L
     val mins = (0 until 12).map { j =>
       val a = (1223543677L + 2654435761L * j) % p
       val b = (1327217885L + 40503L * j) % p
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
        |),
        |sh AS (
@@ -363,11 +364,35 @@ object OracleSql {
        |),
        |hashes AS (
        |  SELECT doc_id, list_transform(shingles, t -> ${sqlTokHash("t")}) AS hs FROM sh
-       |)
-       |SELECT doc_id,
-       |  array_to_string($mins, '_') AS sig
-       |FROM hashes""".stripMargin
+       |),
+       |sig AS (
+       |  SELECT doc_id, $mins AS sg FROM hashes
+       |)""".stripMargin
   }
+
+  /** MinHash signature (k=3 shingles, 12 hashes) rendered as a joined string
+    * (string form keeps the compare portable). */
+  val qMinHashSig: String =
+    s"""WITH $minHashSigCte
+       |SELECT doc_id,
+       |  array_to_string(list_transform(sg, x -> CAST(x AS VARCHAR)), '_') AS sig
+       |FROM sig""".stripMargin
+
+  /** LSH candidate pairs: band the 12-hash signature into 4 bands of 3,
+    * bucket-join within (band, bucket), id_a < id_b, distinct (mirrors
+    * Dedup.minHashLshPairs). */
+  val qLshPairs: String =
+    s"""WITH $minHashSigCte,
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    array_to_string(list_transform(
+       |      list_slice(sg, b.band * 3 + 1, b.band * 3 + 3),
+       |      x -> CAST(x AS VARCHAR)), '_') AS bucket
+       |  FROM sig, (SELECT CAST(i AS INTEGER) AS band FROM range(4) t(i)) b
+       |)
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |FROM banded l JOIN banded r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
 
   /** Degree-2 interaction-only polynomial features over the entity stats
     * (PolynomialFeatures interaction_only, `LR_Advanced.py:511-528`) —

@@ -154,13 +154,12 @@ object SparkEntry {
       TextAnalysis.withLangId(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))),
     "q_minhash_sig" -> ((s, dir) =>
-      // stage the shingle-hash array so the 12 permutations share one pass
+      // native one-pass signature (12 permutations share one string scan)
       Pipelines.table(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("__hs"))
         .select(col("doc_id"),
-          array_join(transform(Dedup.minHashSigFromHashes(col("__hs"), 12),
+          array_join(transform(Dedup.minHashSig(col("text"), 3, 12),
             _.cast("string")), "_").as("sig"))),
-    "q_lsh_pairs" -> ((s, dir) => // rows-only check: pair generation at scale
+    "q_lsh_pairs" -> ((s, dir) =>
       Dedup.minHashLshPairs(Pipelines.table(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 12, bands = 4)),
 
@@ -216,6 +215,7 @@ object SparkEntry {
     "q_simhash" -> OracleSql.qSimHash,
     "q_lang_id" -> OracleSql.qLangId,
     "q_minhash_sig" -> OracleSql.qMinHashSig,
+    "q_lsh_pairs" -> OracleSql.qLshPairs,
     "q_dedup_exact" -> OracleSql.qDedupExact,
     "q_token_stats" -> OracleSql.qTokenStats,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,

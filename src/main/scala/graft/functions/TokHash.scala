@@ -9,8 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Portable polynomial string hash as a native Catalyst expression.
   *
-  * Semantics: fold over UTF-16 chars, acc0 = 7, acc = (acc*31 + code) mod
-  * 1000003 — EXACTLY the arithmetic the DuckDB oracle writes as
+  * Semantics: fold over Unicode CODE POINTS, acc0 = 7, acc = (acc*31 + cp)
+  * mod 1000003 — EXACTLY the arithmetic the DuckDB oracle writes as
   * `list_reduce(list_prepend(7, list_transform(string_split(t,''), ascii)))`,
   * and what `graft.ops.Dedup.tokHash` previously built from nested
   * higher-order functions.
@@ -39,11 +39,20 @@ object TokHash {
 
   def hash(s: UTF8String): Long = {
     val str = s.toString
+    hashRange(str, 0, str.length)
+  }
+
+  /** Code-point fold over str[from, until) (UTF-16 indices). Iterating code
+    * points — not chars — matches DuckDB's `ascii(ch)` per split element for
+    * supplementary-plane text (emoji, rare CJK); see TokHashSpec non-BMP
+    * parity test. */
+  def hashRange(str: String, from: Int, until: Int): Long = {
     var acc = 7L
-    var i = 0
-    while (i < str.length) {
-      acc = (acc * 31L + str.charAt(i).toLong) % Mod
-      i += 1
+    var i = from
+    while (i < until) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }

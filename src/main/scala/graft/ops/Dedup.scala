@@ -41,12 +41,14 @@ object Dedup {
       s => length(s) > 0)
   }
 
-  /** Shingle-hash array (compute ONCE per row; reuse across hash families). */
+  /** Shingle-hash array (HOF form — spec cross-check only; the production
+    * path is the native [[graft.functions.MinHashSig]] expression). */
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => tokHash(s))
 
   /** MinHash signature from a stored shingle-hash array: for each of
-    * `numHashes` seeded affine permutations, the min of (a*h + b) mod p. */
+    * `numHashes` seeded affine permutations, the min of (a*h + b) mod p.
+    * HOF form — spec cross-check only. */
   def minHashSigFromHashes(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31-1 (Mersenne prime)
     val sig = (0 until numHashes).map { j =>
@@ -57,8 +59,10 @@ object Dedup {
     array(sig: _*)
   }
 
+  /** MinHash signature — native one-pass codegen'd expression (same
+    * arithmetic as the HOF form above and the DuckDB oracle). */
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
-    minHashSigFromHashes(shingleHashes(text, k), numHashes)
+    graft.functions.TextExprs.minhash_sig(text, k, numHashes)
 
   /** MinHash+LSH near-dup candidate pairs: band the signature, bucket-join,
     * emit (id_a < id_b) pairs with their band. `bands * rowsPerBand` must
@@ -67,11 +71,8 @@ object Dedup {
                       shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // stage the shingle-hash array so the 12 permutations share ONE
-    // tokenization+hash pass (CollapseProject keeps non-cheap producers
-    // with >1 consumer un-inlined)
-    val sig = df.select(col(idCol), shingleHashes(col(textCol), shingleK).as("__hs"))
-      .select(col(idCol), minHashSigFromHashes(col("__hs"), numHashes).as("__sig"))
+    // native one-pass signature; banding over the 12-element array is cheap
+    val sig = df.select(col(idCol), minHashSig(col(textCol), shingleK, numHashes).as("__sig"))
     val banded = sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
         array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
@@ -84,7 +85,8 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** 32-bit SimHash from a stored token-hash array (bit votes ±1). */
+  /** 32-bit SimHash from a stored token-hash array (bit votes ±1).
+    * HOF form — spec cross-check only. */
   def simHashFromHashes(hashes: Column): Column = {
     val bits = (0 until 32).map { b =>
       val votes = aggregate(hashes, lit(0L),
@@ -94,16 +96,15 @@ object Dedup {
     bits.reduce((a, b) => a + b)
   }
 
-  /** Token-hash array with bit spreading (compute once; 32 bit votes reuse it). */
+  /** Token-hash array with bit spreading (HOF cross-check path). */
   def tokenHashes(text: Column): Column =
     transform(split(text, " "), t => tokHash(t) * lit(2654435761L))
 
-  def simHash(text: Column): Column = simHashFromHashes(tokenHashes(text))
+  /** 32-bit SimHash — native one-pass codegen'd expression. */
+  def simHash(text: Column): Column = graft.functions.TextExprs.simhash32(text)
 
   def withSimHash(df: DataFrame, textCol: String = "text", out: String = "simhash"): DataFrame =
-    df.withColumn("__th", tokenHashes(col(textCol)))
-      .withColumn(out, simHashFromHashes(col("__th")))
-      .drop("__th")
+    df.withColumn(out, simHash(col(textCol)))
 
   /** Exact token-set Jaccard for candidate pairs (precision verification).
     * `pairs` carries (id_a, id_b); texts joined in from `df`. Both joins are

@@ -74,6 +74,54 @@ class DedupSpec extends SparkSpec {
     assert(viaSql == expected)
   }
 
+  test("native text expressions ≡ HOF reference forms, incl. edge cases") {
+    val edge = Seq((10L, ""), (11L, " "), (12L, "a"), (13L, "a  b"),
+      (14L, "the the the le le la"), (15L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val all = docs.union(edge)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    // minhash: native one-pass expression ≡ HOF shingle/permutation chain
+    val natSig = m(all.select(col("doc_id"),
+      transform(Dedup.minHashSig(col("text"), 3, 12), _.cast("string")).as("s")))
+    val hofSig = m(all.select(col("doc_id"),
+      transform(Dedup.minHashSigFromHashes(Dedup.shingleHashes(col("text"), 3), 12),
+        _.cast("string")).as("s")))
+    assert(natSig == hofSig)
+    // simhash
+    val natSim = m(all.select(col("doc_id"), Dedup.simHash(col("text")).as("h")))
+    val hofSim = m(all.select(col("doc_id"),
+      Dedup.simHashFromHashes(Dedup.tokenHashes(col("text"))).as("h")))
+    assert(natSim == hofSim)
+    // lang-id
+    val natLang = m(TextAnalysis.withLangId(all).select(col("doc_id"), col("lang_pred")))
+    val hofLang = m(TextAnalysis.withLangIdHof(all).select(col("doc_id"), col("lang_pred")))
+    assert(natLang == hofLang)
+    // token counts
+    val natTok = m(all.select(col("doc_id"),
+      graft.functions.TextExprs.token_count(col("text")).as("n")))
+    val sizTok = m(all.select(col("doc_id"), size(split(col("text"), " ")).as("n")))
+    assert(natTok == sizTok)
+    val natStop = m(all.select(col("doc_id"),
+      graft.functions.TextExprs.token_set_count(col("text"), TextAnalysis.Stopwords).as("n")))
+    val hofStop = m(all.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        t => t.isin(TextAnalysis.Stopwords.map(lit): _*))).as("n")))
+    assert(natStop == hofStop)
+  }
+
+  test("tok_hash folds Unicode code points (non-BMP parity with DuckDB ascii)") {
+    // U+1F600 (😀) is one code point but two UTF-16 chars; DuckDB's
+    // string_split(t,'') + ascii folds code points — so must we.
+    val texts = Seq("😀", "a😀b", "汉字 test")
+    texts.foreach { t =>
+      val got = docs.limit(1).select(graft.functions.TokHash.tok_hash(lit(t)))
+        .collect()(0).getLong(0)
+      var expected = 7L
+      t.codePoints().forEach(cp => expected = (expected * 31 + cp) % 1000003L)
+      assert(got == expected, s"code-point fold mismatch for '$t'")
+    }
+  }
+
   test("lsh topk agrees with brute force on the shared candidates") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
