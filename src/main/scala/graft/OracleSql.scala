@@ -415,10 +415,11 @@ object OracleSql {
        |)""".stripMargin
   }
 
-  /** Confusion-matrix counts at threshold 0.5. */
+  /** Confusion-matrix counts at threshold 0.5 (predict 1 when score >= thr,
+    * matching the reference's `proba >= thr`, OOF_AUC_test.py:367). */
   val qConfusion: String =
     s"""WITH $scoredCte
-       |SELECT y, CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS pred, COUNT(*) AS n
+       |SELECT y, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred, COUNT(*) AS n
        |FROM scored GROUP BY 1, 2""".stripMargin
 
   /** Accuracy / precision / recall / F1 at threshold 0.5 (exact counts). */
@@ -426,10 +427,10 @@ object OracleSql {
     s"""WITH $scoredCte,
        |c AS (
        |  SELECT
-       |    CAST(SUM(CASE WHEN y = 1 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |    CAST(SUM(CASE WHEN y = 0 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |    CAST(SUM(CASE WHEN y = 0 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-       |    CAST(SUM(CASE WHEN y = 1 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |    CAST(SUM(CASE WHEN y = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(SUM(CASE WHEN y = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
        |  FROM scored
        |)
        |SELECT tp, fp, tn, fn,
@@ -445,25 +446,79 @@ object OracleSql {
        |      (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) END AS f1
        |FROM c""".stripMargin
 
-  /** ROC AUC via Mann-Whitney with average ranks for ties. */
+  /** Distinct-score histogram CTE shared by the rank-based metric oracles
+    * (mirrors Metrics.scoreHistogram). */
+  private val scoreHistCte: String =
+    """g AS (
+      |  SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM scored GROUP BY score
+      |)""".stripMargin
+
+  /** ROC AUC via Mann-Whitney with average ranks for ties, in the grouped
+    * form Metrics.aucRoc computes: per tie group the positives contribute
+    * p·(cum_before + (n+1)/2) — a multiple of 0.5, so the double sum is
+    * order-independent and hash-stable. */
   val qAucRoc: String =
     s"""WITH $scoredCte,
-       |ranked AS (
-       |  SELECT y,
-       |    CAST(RANK() OVER (ORDER BY score) AS DOUBLE)
-       |      + (CAST(COUNT(*) OVER (PARTITION BY score) AS DOUBLE) - 1.0) / 2.0 AS r
-       |  FROM scored
+       |$scoreHistCte,
+       |w AS (
+       |  SELECT p, n, CAST(SUM(n) OVER (ORDER BY s) AS BIGINT) AS cum_n FROM g
        |),
        |agg AS (
-       |  SELECT SUM(CASE WHEN y = 1 THEN r ELSE 0.0 END) AS sumr,
-       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
-       |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
-       |  FROM ranked
+       |  SELECT
+       |    SUM(CAST(p AS DOUBLE) *
+       |      (CAST(cum_n - n AS DOUBLE) + (CAST(n AS DOUBLE) + 1.0) / 2.0)) AS sumr,
+       |    CAST(SUM(p) AS BIGINT) AS p,
+       |    CAST(SUM(n - p) AS BIGINT) AS n
+       |  FROM w
        |)
        |SELECT CASE WHEN p > 0 AND n > 0
        |  THEN (sumr - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0)
        |    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) END AS auc
        |FROM agg""".stripMargin
+
+  /** OOF precision-recall curve: one row per distinct score threshold
+    * (predict positive when score >= s); exact cumulative counts
+    * (mirrors Metrics.prCurve). */
+  val qPrCurve: String =
+    s"""WITH $scoredCte,
+       |$scoreHistCte,
+       |c AS (
+       |  SELECT s, p, n,
+       |    CAST(SUM(p) OVER w AS BIGINT) AS tp,
+       |    CAST(SUM(n) OVER w AS BIGINT) AS n_pred
+       |  FROM g WINDOW w AS (ORDER BY s DESC)
+       |),
+       |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tpt FROM g)
+       |SELECT c.s AS threshold, c.tp, c.n_pred,
+       |  CAST(c.tp AS DOUBLE) / CAST(c.n_pred AS DOUBLE) AS precision,
+       |  CASE WHEN t.tpt > 0 THEN CAST(c.tp AS DOUBLE) / CAST(t.tpt AS DOUBLE) END AS recall
+       |FROM c, tot t""".stripMargin
+
+  /** Average precision (PR-AUC): sequential ascending-score fold of the same
+    * term list Metrics.averagePrecision folds — identical fp order, so the
+    * inexact-double scalar is still bit-reproducible across engines. */
+  val qAucPr: String =
+    s"""WITH $scoredCte,
+       |$scoreHistCte,
+       |c AS (
+       |  SELECT s, p, n,
+       |    CAST(SUM(p) OVER w AS BIGINT) AS tp,
+       |    CAST(SUM(n) OVER w AS BIGINT) AS n_pred
+       |  FROM g WINDOW w AS (ORDER BY s DESC)
+       |),
+       |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tpt FROM g),
+       |terms AS (
+       |  SELECT c.s,
+       |    (CAST(c.p AS DOUBLE) / CAST(t.tpt AS DOUBLE))
+       |      * (CAST(c.tp AS DOUBLE) / CAST(c.n_pred AS DOUBLE)) AS term
+       |  FROM c, tot t WHERE t.tpt > 0
+       |)
+       |SELECT list_reduce(
+       |  list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s)),
+       |  (a, b) -> a + b) AS auc_pr
+       |FROM terms""".stripMargin
 
   /** Calibration bins (10 uniform score bins, clamped). */
   val qCalibration: String =
@@ -473,15 +528,15 @@ object OracleSql {
        |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
        |FROM scored GROUP BY 1""".stripMargin
 
-  /** F1 over the 99-threshold grid. */
+  /** F1 over the 99-threshold grid (predict 1 when score >= threshold). */
   val qThresholdScan: String =
     s"""WITH $scoredCte,
        |th AS (SELECT (i + 1) / 100.0 AS threshold FROM range(99) t(i)),
        |c AS (
        |  SELECT threshold,
-       |    CAST(SUM(CASE WHEN y = 1 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |    CAST(SUM(CASE WHEN y = 0 AND score > threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |    CAST(SUM(CASE WHEN y = 1 AND score <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |    CAST(SUM(CASE WHEN y = 1 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN y = 0 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN y = 1 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
        |  FROM scored, th GROUP BY threshold
        |)
        |SELECT threshold, tp, fp, fn,
@@ -515,6 +570,49 @@ object OracleSql {
        |  view_count + click_count + signup_count + purchase_count AS total_activity
        |FROM entity
        |ORDER BY total_activity DESC, user_id LIMIT 20""".stripMargin
+
+  // ── Relational join surface (graft.Relational) ─────────────────────────
+  // Money arithmetic: identical expression trees to the Spark plans — the
+  // double product is computed first, then round(x*100) to exact cents,
+  // then BIGINT sums (order-independent).
+
+  /** TPC-H Q1-style pushdown scan rollup (mirrors Relational.scanAgg). */
+  val qScanAgg: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Orders → customer → nation dim joins (mirrors Relational.revenueByNation). */
+  val qJoinBroadcast: String =
+    """SELECT n.n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
+  /** Fact-fact lineitem ⋈ orders rollup (mirrors Relational.revenueByPriority). */
+  val qJoinFact: String =
+    """SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin
+
+  /** Left semi (EXISTS) — mirrors Relational.ordersWithBigItems(minQty=45). */
+  val qJoinSemi: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""".stripMargin
+
+  /** Left anti (NOT EXISTS) — mirrors Relational.customersWithoutPriority. */
+  val qJoinAnti: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
   /** Deterministic double cosine between two list expressions (left-to-right
     * folds — mirrors Similarity.cosine exactly). */

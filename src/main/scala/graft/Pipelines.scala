@@ -61,13 +61,22 @@ object Pipelines {
   /** T3 stats — per-entity min/max/avg of each slot count
     * (`mean_features.py:20-26`), entity-grain output (the reference
     * denormalizes back onto slots at `:51`; in Spark we keep the normalized
-    * grain and let callers join or window as needed). */
-  def entityStats(spark: SparkSession, dir: String): DataFrame = {
+    * grain and let callers join or window as needed).
+    *
+    * `round2dp` applies the reference's banker's rounding of the `*_avg`
+    * stats (`mean_features.py:47-48`, numpy HALF_EVEN → Spark `bround`) —
+    * the shipped `user_time_with_user_stats.xlsx` domain. Default off: the
+    * unrounded domain feeds the oracle-checked feature pipeline. */
+  def entityStats(spark: SparkSession, dir: String, round2dp: Boolean = false): DataFrame = {
     val stats = RunningStats.fullHistory(slotsCleaned(spark, dir),
       entity = Seq("user_id"), valueCols = quartet.map(q => s"${q}_count"))
     // reference naming: pv_min not pv_count_min (`mean_features.py:29-43`)
-    quartet.flatMap(q => Seq("min", "max", "avg").map(s => (s"${q}_count_$s", s"${q}_$s")))
+    val renamed = quartet.flatMap(q => Seq("min", "max", "avg").map(s => (s"${q}_count_$s", s"${q}_$s")))
       .foldLeft(stats) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
+    if (!round2dp) renamed
+    else quartet.foldLeft(renamed) { (df, q) =>
+      df.withColumn(s"${q}_avg", bround(col(s"${q}_avg"), 2))
+    }
   }
 
   /** T4 — entity grain: summed counts + label + the 12 stats

@@ -86,7 +86,8 @@ object SparkEntry {
     // — as-of variant equivalence (same oracle as q_asof_join) —
     "q_asof_windowed" -> ((s, dir) =>
       asofVariant(s, dir, AsOfJoin.windowed(_, _, _, _, _, _, _))),
-    "q_asof_bcast" -> ((s, dir) => asofVariant(s, dir, AsOfJoin.broadcastIndex)),
+    "q_asof_bcast" -> ((s, dir) =>
+      asofVariant(s, dir, AsOfJoin.broadcastIndex(_, _, _, _, _, _, _))),
     "q_asof_scalable" -> ((s, dir) =>
       asofVariant(s, dir, AsOfJoin.mergedScalable(_, _, _, _, _, _, _))),
 
@@ -125,14 +126,32 @@ object SparkEntry {
             .as("total_activity"))
         .orderBy(col("total_activity").desc, col("user_id")).limit(20)),
 
+    // — relational join surface over the TPC-H-ish tables —
+    "q_scan_agg" -> ((s, dir) =>
+      Relational.scanAgg(Pipelines.table(s, dir, "lineitem"), "1998-09-01 00:00:00")),
+    "q_join_broadcast" -> ((s, dir) =>
+      Relational.revenueByNation(Pipelines.table(s, dir, "orders"),
+        Pipelines.table(s, dir, "customer"), Pipelines.table(s, dir, "nation"))),
+    "q_join_fact" -> ((s, dir) =>
+      Relational.revenueByPriority(Pipelines.table(s, dir, "lineitem"),
+        Pipelines.table(s, dir, "orders"))),
+    "q_join_semi" -> ((s, dir) =>
+      Relational.ordersWithBigItems(Pipelines.table(s, dir, "orders"),
+        Pipelines.table(s, dir, "lineitem"), minQty = 45.0)),
+    "q_join_anti" -> ((s, dir) =>
+      Relational.customersWithoutPriority(Pipelines.table(s, dir, "customer"),
+        Pipelines.table(s, dir, "orders"), "1-URGENT")),
+
     // — evaluation-framework metrics over scored entities —
     "q_confusion" -> ((s, dir) => {
       val sc = scored(s, dir)
       Metrics.confusion(sc.withColumn("pred",
-        when(col("score") > 0.5, 1).otherwise(0)), "y", "pred")
+        when(col("score") >= 0.5, 1).otherwise(0)), "y", "pred")
     }),
     "q_binary_metrics" -> ((s, dir) => Metrics.binaryMetrics(scored(s, dir), "y", "score", 0.5)),
     "q_auc_roc" -> ((s, dir) => Metrics.aucRoc(scored(s, dir), "y", "score")),
+    "q_pr_curve" -> ((s, dir) => Metrics.prCurve(scored(s, dir), "y", "score")),
+    "q_auc_pr" -> ((s, dir) => Metrics.averagePrecision(scored(s, dir), "y", "score")),
     "q_calibration" -> ((s, dir) => Metrics.calibrationBins(scored(s, dir), "y", "score")),
     "q_threshold_scan" -> ((s, dir) =>
       Metrics.thresholdScan(scored(s, dir), "y", "score", (1 to 99).map(i => (i + 0.0) / 100.0))),
@@ -205,9 +224,16 @@ object SparkEntry {
     "q_interactions" -> OracleSql.qInteractions,
     "q_ts_parse" -> OracleSql.qTsParse,
     "q_top_entities" -> OracleSql.qTopEntities,
+    "q_scan_agg" -> OracleSql.qScanAgg,
+    "q_join_broadcast" -> OracleSql.qJoinBroadcast,
+    "q_join_fact" -> OracleSql.qJoinFact,
+    "q_join_semi" -> OracleSql.qJoinSemi,
+    "q_join_anti" -> OracleSql.qJoinAnti,
     "q_confusion" -> OracleSql.qConfusion,
     "q_binary_metrics" -> OracleSql.qBinaryMetrics,
     "q_auc_roc" -> OracleSql.qAucRoc,
+    "q_pr_curve" -> OracleSql.qPrCurve,
+    "q_auc_pr" -> OracleSql.qAucPr,
     "q_calibration" -> OracleSql.qCalibration,
     "q_threshold_scan" -> OracleSql.qThresholdScan,
     "q_impute" -> OracleSql.qImpute,

@@ -18,11 +18,13 @@ import graft.tables.IcebergLite.Snapshot
   *   - a checkpoint `checkpoints/bucket-<b>.json` carrying full lineage
   *     (snapshot id, bucket range, input/output row counts) + throughput.
   *
-  * Commit protocol: output is written to a temp dir and renamed into place,
-  * THEN the checkpoint is written (tmp + ATOMIC_MOVE). A crash between the
-  * two leaves a complete output dir without a checkpoint — the bucket is
-  * simply recomputed on resume (idempotent: same snapshot + same bucket ⇒
-  * byte-identical output, guaranteed by the engine's determinism tests).
+  * Commit protocol: bucket output is written with mode(overwrite) directly
+  * to its final `bucket=<b>` dir, THEN the checkpoint is committed
+  * atomically (tmp + ATOMIC_MOVE). The CHECKPOINT is the commit marker:
+  * readers must treat a bucket dir without its checkpoint as uncommitted
+  * (a crash mid-write leaves a partial dir until resume overwrites it).
+  * Resume is idempotent — same snapshot + same bucket ⇒ byte-identical
+  * output, guaranteed by the engine's determinism tests.
   */
 object Backfill {
 
@@ -55,10 +57,12 @@ object Backfill {
   def completed(outRoot: String): Map[Int, Checkpoint] = {
     val d = ckptDir(outRoot)
     if (!Files.exists(d)) Map.empty
-    else Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.matches("bucket-\\d+\\.json"))
-      .map(p => parseCkpt(Files.readString(p)))
-      .map(c => c.bucket -> c).toMap
+    else scala.util.Using.resource(Files.list(d)) { stream => // close: fd leak on repeated resume
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("bucket-\\d+\\.json"))
+        .map(p => parseCkpt(Files.readString(p)))
+        .map(c => c.bucket -> c).toMap
+    }
   }
 
   /** Run (or resume) a backfill of `compute` over every bucket of `snap`.

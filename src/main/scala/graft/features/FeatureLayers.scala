@@ -115,17 +115,30 @@ object FeatureLayers {
   }
 
   /** Append all engineered features to a Basic-layer DataFrame (must carry
-    * the 12 stat columns + pv_count). Features are added in dependency order
-    * referencing earlier features as STORED columns (not re-inlined): the
-    * runtime arithmetic is bit-identical to the fully-inlined form (same op
-    * sequence per value), but the codegen'd projection stays small — the
-    * inlined variant produced pathological whole-stage-codegen sizes.
-    * Catalyst collapses the chain back into a few projections, keeping
-    * multiply-used non-cheap intermediates materialized. Zero shuffles. */
+    * the 12 stat columns + pv_count). Features reference earlier features as
+    * STORED columns (not re-inlined): the runtime arithmetic is bit-identical
+    * to the fully-inlined form (same op sequence per value), but the
+    * codegen'd projection stays small — the inlined variant produced
+    * pathological whole-stage-codegen sizes.
+    *
+    * Built as a handful of dependency-leveled `select`s rather than 39
+    * chained `withColumn`s: each withColumn adds a Project node and a full
+    * analyzer pass (O(n²) analysis — round 1 paid multi-second plan analysis
+    * in every downstream metric query). Zero shuffles either way. */
   def applyTo(df: DataFrame, b: BehaviorBinding): DataFrame = {
+    val fs = formulas(b)
+    val names = fs.map(_._1).toSet
+    val level = scala.collection.mutable.Map.empty[String, Int]
+    fs.foreach { case (n, ex) =>
+      val deps = Formula.refsOf(ex).intersect(names) // formulas only ref earlier ones
+      level(n) = if (deps.isEmpty) 0 else deps.map(level).max + 1
+    }
     val asAttribute: String => Ex = n => Ref(n) // never inline; read the column
-    formulas(b).foldLeft(df) { case (acc, (n, ex)) =>
-      acc.withColumn(n, Formula.toColumn(ex, asAttribute))
+    (0 to level.values.max).foldLeft(df) { (acc, l) =>
+      val stage = fs.collect { case (n, ex) if level(n) == l =>
+        Formula.toColumn(ex, asAttribute).as(n)
+      }
+      acc.select(col("*") +: stage.toIndexedSeq: _*)
     }
   }
 

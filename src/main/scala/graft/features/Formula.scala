@@ -83,4 +83,19 @@ object Formula {
   private def condSql(c: Cond, resolve: String => Ex): String = c match {
     case Cmp(op, a, b) => s"(${toSql(a, resolve)} $op ${toSql(b, resolve)})"
   }
+
+  /** Column/feature names a formula reads (for dependency leveling). */
+  def refsOf(e: Ex): Set[String] = e match {
+    case Ref(n)         => Set(n)
+    case Bin(_, a, b)   => refsOf(a) ++ refsOf(b)
+    case GreatestOf(xs) => xs.flatMap(refsOf).toSet
+    case AbsOf(x)       => refsOf(x)
+    case CaseOf(bs, d)  =>
+      bs.flatMap { case (c, v) => condRefs(c) ++ refsOf(v) }.toSet ++ refsOf(d)
+    case _              => Set.empty
+  }
+
+  private def condRefs(c: Cond): Set[String] = c match {
+    case Cmp(_, a, b) => refsOf(a) ++ refsOf(b)
+  }
 }

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LogisticRegression, LogisticRegressionModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.CategoricalOps
@@ -153,7 +152,9 @@ object Models {
   def oofProbabilities(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
                        k: Int = 5): DataFrame = {
     val folded = CategoricalOps.stratifiedFolds(df, idCol, labelCol, k).cache()
-    val p1 = udf((v: Vector) => v(1))
+    // built-in vector accessor (no Scala UDF: keeps the zero-UDF surface)
+    val p1 = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.ml.functions.vector_to_array(c)(1)
     val perFold = (0 until k).map { f =>
       val train = assemble(folded.filter(col("fold") =!= f), features, labelCol)
       val test = assemble(folded.filter(col("fold") === f), features, labelCol)
@@ -166,5 +167,20 @@ object Models {
     val oof = perFold.reduce(_.unionByName(_)) // OOF concat (np.concatenate analog)
     folded.join(oof, idCol)
       .withColumn("p_vote", (col("p_lr") + col("p_rf")) / 2.0)
+  }
+
+  /** Stacking meta-learner (`directory/Stacking_SMOTE_XGB_LR_RF.py:67-85`):
+    * a logistic regression fit ON the out-of-fold base probabilities —
+    * completing the stacking operator (soft voting alone is only half of
+    * it). Adds `p_stack`, the meta-model's positive-class probability. */
+  def stack(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
+            k: Int = 5): DataFrame = {
+    val oof = oofProbabilities(df, features, labelCol, idCol, k)
+    val meta = assemble(oof, Seq("p_lr", "p_rf"), labelCol)
+    val lr = new LogisticRegression().setMaxIter(50).fit(meta)
+    lr.transform(meta)
+      .withColumn("p_stack",
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
+      .drop("features", "rawPrediction", "probability", "prediction", "label")
   }
 }

@@ -40,6 +40,25 @@ import scala.collection.mutable.ArrayBuffer
   */
 object AsOfJoin {
 
+  /** Key types the InternalRow merge variants support. The merges detect
+    * key-group changes with Java equals on InternalRow-extracted values,
+    * which is value-equality for UTF8String and boxed primitives but
+    * REFERENCE equality for BinaryType (Array[Byte]) — and broadcastIndex
+    * additionally compares external-Row values against internal ones.
+    * Restricting to these types makes both comparisons sound; anything else
+    * fails fast instead of silently dropping payloads. */
+  private val SupportedKeyTypes: Set[DataType] = Set(
+    StringType, ByteType, ShortType, IntegerType, LongType, BooleanType,
+    DateType, TimestampType, TimestampNTZType)
+
+  private def requireKeyType(df: DataFrame, key: String, op: String): Unit = {
+    val dt = df.schema(key).dataType
+    require(SupportedKeyTypes.contains(dt),
+      s"AsOfJoin.$op: unsupported key type $dt for '$key' — supported: " +
+        "string / integral / boolean / date / timestamp (BinaryType keys would " +
+        "compare by reference and silently mismatch)")
+  }
+
   /** Deduplicate right to one row per (key, ts): greatest rightSeq wins. */
   private def dedupRight(right: DataFrame, key: String, ts: String, rightSeq: String,
                          payload: Seq[String]): DataFrame = {
@@ -101,6 +120,7 @@ object AsOfJoin {
              rightSeq: String, payload: Seq[String], prefix: String = "asof_",
              numPartitions: Int = 0, dedup: Boolean = true): DataFrame = {
     val spark = left.sparkSession
+    requireKeyType(left, key, "merged")
     val p = pack(left, right, key, ts, rightSeq, payload, dedup)
     val parts =
       if (numPartitions > 0) numPartitions
@@ -168,6 +188,7 @@ object AsOfJoin {
                      rightSeq: String, payload: Seq[String], prefix: String = "asof_",
                      numPartitions: Int = 0, dedup: Boolean = true): DataFrame = {
     val spark = left.sparkSession
+    requireKeyType(left, key, "mergedScalable")
     val p = pack(left, right, key, ts, rightSeq, payload, dedup)
     val parts =
       if (numPartitions > 0) numPartitions
@@ -204,16 +225,22 @@ object AsOfJoin {
         if (!any) Iterator.empty else Iterator.single((pid, curKey, lastPay))
       }.collect()
 
-    // driver prefix-combine: incoming state per partition
+    // driver prefix-combine: incoming state per partition. An explicit
+    // haveCarry flag (NOT key-null-ness) marks "no carry": a genuinely null
+    // join key sorts first under range partitioning and must still carry its
+    // payload across a boundary like any other key.
     val incoming = new Array[(Any, InternalRow)](parts)
+    var haveCarry = false
     var carryKey: Any = null
     var carryPay: InternalRow = null
     val byPid = summaries.map(s => s._1 -> s).toMap
     (0 until parts).foreach { pi =>
-      incoming(pi) = if (carryKey != null && carryPay != null) (carryKey, carryPay) else null
+      incoming(pi) = if (haveCarry) (carryKey, carryPay) else null
       byPid.get(pi).foreach { case (_, lastKey, lastPay) =>
-        if (lastPay != null) { carryKey = lastKey; carryPay = lastPay }
-        else if (carryKey != null && lastKey != carryKey) { carryKey = null; carryPay = null }
+        if (lastPay != null) { haveCarry = true; carryKey = lastKey; carryPay = lastPay }
+        else if (haveCarry && lastKey != carryKey) {
+          haveCarry = false; carryKey = null; carryPay = null
+        }
         // else: same key continues with no new state -> carry unchanged
       }
     }
@@ -250,15 +277,30 @@ object AsOfJoin {
   }
 
   /** Variant 3 — broadcast per-key sorted timestamp index + binary search.
-    * Right side must be collect-ably small (an index, not a fact table). */
+    * Right side must be collect-ably small (an INDEX, not a fact table):
+    * `maxIndexRows` guards the driver — exceeding it fails fast with a
+    * pointer at merged/mergedScalable instead of OOMing at 100× data.
+    * Key must be string/integral (external-Row index values are compared
+    * against InternalRow probe values; date/timestamp/decimal externals
+    * don't equal their internal representations). */
   def broadcastIndex(left: DataFrame, right: DataFrame, key: String, ts: String,
-                     rightSeq: String, payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+                     rightSeq: String, payload: Seq[String], prefix: String = "asof_",
+                     maxIndexRows: Int = 2000000): DataFrame = {
     val spark = left.sparkSession
+    val keyDt = left.schema(key).dataType
+    require(Set[DataType](StringType, ByteType, ShortType, IntegerType, LongType)
+        .contains(keyDt),
+      s"AsOfJoin.broadcastIndex: unsupported key type $keyDt — string/integral only")
     val r = dedupRight(right, key, ts, rightSeq, payload)
       .select(col(key), micros(col(ts)).as("__t"), struct(payload.map(col): _*).as("__p"))
-    // driver-side build of the index: key -> (sorted tsUs, payload rows)
+    // driver-side build of the index: key -> (sorted tsUs, payload rows).
+    // limit(max+1) bounds what ever reaches the driver, even on violation.
+    val collected = r.limit(maxIndexRows + 1).collect()
+    require(collected.length <= maxIndexRows,
+      s"AsOfJoin.broadcastIndex: right side exceeds maxIndexRows=$maxIndexRows " +
+        "(deduped) — this variant is for small indexes; use merged/mergedScalable")
     val index: Map[Any, (Array[Long], Array[Row])] =
-      r.collect().groupBy(_.get(0)).map { case (k, rows) =>
+      collected.groupBy(_.get(0)).map { case (k, rows) =>
         val sortedRows = rows.sortBy(_.getLong(1))
         (k, (sortedRows.map(_.getLong(1)), sortedRows.map(_.getStruct(2))))
       }

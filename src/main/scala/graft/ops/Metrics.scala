@@ -2,12 +2,20 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Evaluation-framework dataflow operators (`LR_Model_train/LR_Advanced.py:
   * 656-677`, `OOF_AUC_test.py:336-371`) as distributed aggregations — the
-  * sklearn metric calls become groupBy/window plans with exact arithmetic
-  * (counts + one final division), so the DuckDB oracle matches bit-for-bit.
+  * sklearn metric calls become groupBy plans with exact arithmetic (counts +
+  * one final division), so the DuckDB oracle matches bit-for-bit.
+  *
+  * Threshold semantics: predict positive when `score >= threshold`, matching
+  * the reference (`OOF_AUC_test.py:367` uses `proba >= thr`).
+  *
+  * Scale shape: NO global single-partition windows anywhere (round 1's
+  * `aucRoc` used `rank().over(Window.orderBy(score))`, which moves every
+  * scored row to one task). All rank/cumulative logic now runs over the
+  * DISTINCT-SCORE table (a map-side-combined groupBy first), with global
+  * prefix sums via [[PrefixSum]] (range-partitioned parallel prefix).
   */
 object Metrics {
 
@@ -18,7 +26,7 @@ object Metrics {
   /** Accuracy / precision / recall / F1 at a threshold, one output row.
     * All ratios are single divisions of exact long counts. */
   def binaryMetrics(df: DataFrame, label: String, score: String, threshold: Double): DataFrame = {
-    val pred = when(col(score) > lit(threshold), 1).otherwise(0)
+    val pred = when(col(score) >= lit(threshold), 1).otherwise(0)
     val agg = df.agg(
       sum(when(col(label) === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col(label) === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
@@ -37,20 +45,33 @@ object Metrics {
         lit(2.0) * d(col("tp")) + d(col("fp")) + d(col("fn"))).as("f1"))
   }
 
+  /** Distinct-score histogram: per score value, total rows and positives.
+    * The first stage of every rank-based metric — map-side combined, so the
+    * shuffle carries |distinct scores| rows, not |rows|. */
+  private def scoreHistogram(df: DataFrame, label: String, score: String): DataFrame =
+    df.groupBy(col(score).as("__s")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col(label) === 1, 1L).otherwise(0L)).as("__p"))
+
   /** ROC AUC via the Mann-Whitney U statistic with average ranks for ties:
-    * AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N). One window pass + one
-    * aggregate; exact given exact scores. */
+    * AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N).
+    *
+    * Plan: distinct-score histogram → [[PrefixSum]] over score order (no
+    * single-partition window) → one aggregate. Every positive in a tie group
+    * shares avg rank (cum_before + (n+1)/2), so the group contribution
+    * p·(cum_before + (n+1)/2) is a multiple of 0.5 — exactly representable,
+    * making the double sum order-independent and oracle-hash-stable. */
   def aucRoc(df: DataFrame, label: String, score: String): DataFrame = {
-    val rAvg = rank().over(Window.orderBy(col(score))).cast("double") +
-      (count(lit(1)).over(Window.partitionBy(col(score))).cast("double") - 1.0) / 2.0
-    val ranked = df.select(col(label), rAvg.as("__r"))
-    ranked.agg(
-      sum(when(col(label) === 1, col("__r")).otherwise(0.0)).as("__sumR"),
-      sum(when(col(label) === 1, 1L).otherwise(0L)).as("__p"),
-      sum(when(col(label) === 0, 1L).otherwise(0L)).as("__n"))
-      .select(when(col("__p") > 0 && col("__n") > 0,
-        (col("__sumR") - col("__p").cast("double") * (col("__p").cast("double") + 1.0) / 2.0)
-          / (col("__p").cast("double") * col("__n").cast("double"))).as("auc"))
+    val cum = PrefixSum.runningSums(scoreHistogram(df, label, score), Seq(col("__s")), Seq("__n"))
+    val contrib = col("__p").cast("double") *
+      ((col("__n_cum") - col("__n")).cast("double") + (col("__n").cast("double") + 1.0) / 2.0)
+    cum.agg(
+      sum(contrib).as("__sumR"),
+      sum(col("__p")).as("__pp"),
+      sum(col("__n") - col("__p")).as("__nn"))
+      .select(when(col("__pp") > 0 && col("__nn") > 0,
+        (col("__sumR") - col("__pp").cast("double") * (col("__pp").cast("double") + 1.0) / 2.0)
+          / (col("__pp").cast("double") * col("__nn").cast("double"))).as("auc"))
   }
 
   /** Calibration bins (`OOF_AUC_test.py` 10 uniform bins): per bin of the
@@ -65,23 +86,72 @@ object Metrics {
   }
 
   /** F1 over a threshold grid (the 99-threshold scan, `OOF_AUC_test.py:355-
-    * 364`): broadcast the grid, one shuffle by threshold. */
+    * 364`). Histogram-first: the 99× row amplification hits the DISTINCT-
+    * SCORE table, not the scan (round 1 cross-joined the full input). For
+    * continuous scores at extreme scale, quantize upstream (calibrationBins'
+    * binning) to bound the histogram. */
   def thresholdScan(df: DataFrame, label: String, score: String,
                     thresholds: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    df.select(col(label).as("__y"), col(score).as("__s"))
+    scoreHistogram(df, label, score)
+      .withColumn("__gn", col("__n") - col("__p"))
       .crossJoin(broadcast(th))
       .groupBy(col("threshold"))
       .agg(
-        sum(when(col("__y") === 1 && col("__s") > col("threshold"), 1L).otherwise(0L)).as("tp"),
-        sum(when(col("__y") === 0 && col("__s") > col("threshold"), 1L).otherwise(0L)).as("fp"),
-        sum(when(col("__y") === 1 && col("__s") <= col("threshold"), 1L).otherwise(0L)).as("fn"))
+        sum(when(col("__s") >= col("threshold"), col("__p")).otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold"), col("__gn")).otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold"), col("__p")).otherwise(0L)).as("fn"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
         when(lit(2.0) * col("tp").cast("double") + col("fp").cast("double") + col("fn").cast("double") > 0.0,
           (lit(2.0) * col("tp").cast("double")) /
             (lit(2.0) * col("tp").cast("double") + col("fp").cast("double") + col("fn").cast("double")))
           .as("f1"))
+  }
+
+  /** Cumulative score table for PR metrics: per distinct score s (predicting
+    * positive when score >= s), exact tp and predicted-positive counts, plus
+    * the per-score positives `__p` and the global positive total. */
+  private def prCumulative(df: DataFrame, label: String, score: String): DataFrame = {
+    val g = scoreHistogram(df, label, score)
+    val cum = PrefixSum.runningSums(g, Seq(col("__s").desc), Seq("__n", "__p"))
+    val totals = g.agg(sum(col("__p")).as("__tp_total"))
+    cum.crossJoin(broadcast(totals))
+  }
+
+  /** OOF precision-recall curve (`OOF_AUC_test.py:336-340`): one row per
+    * distinct score threshold with exact cumulative counts; precision and
+    * recall are single divisions of exact longs (oracle-hash-stable). */
+  def prCurve(df: DataFrame, label: String, score: String): DataFrame =
+    prCumulative(df, label, score).select(
+      col("__s").as("threshold"),
+      col("__p_cum").as("tp"),
+      col("__n_cum").as("n_pred"),
+      (col("__p_cum").cast("double") / col("__n_cum").cast("double")).as("precision"),
+      when(col("__tp_total") > 0,
+        col("__p_cum").cast("double") / col("__tp_total").cast("double")).as("recall"))
+
+  /** Average precision (sklearn `average_precision_score`, the reference's
+    * headline PR-AUC): AP = Σ_j ΔR_j · P_j over thresholds = distinct scores
+    * descending, ΔR_j = p_j/P, P_j = tp_j/n_pred_j.
+    *
+    * The terms are inexact doubles, so the REDUCTION order matters for
+    * bit-parity: both this plan and the DuckDB oracle fold the (tiny,
+    * |distinct scores|-sized) term list sequentially in ascending-score
+    * order — collect_list → sort_array → aggregate here, list(... ORDER BY
+    * score) → list_reduce there — giving a bit-reproducible scalar. The
+    * heavy work (histogram, prefix sums) is all distributed; only the final
+    * |distinct|-element fold is single-node, and it arrives pre-aggregated. */
+  def averagePrecision(df: DataFrame, label: String, score: String): DataFrame = {
+    val term = (col("__p").cast("double") / col("__tp_total").cast("double")) *
+      (col("__p_cum").cast("double") / col("__n_cum").cast("double"))
+    prCumulative(df, label, score)
+      .filter(col("__tp_total") > 0)
+      .select(col("__s"), term.as("__term"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__s"), col("__term")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__term")).as("auc_pr"))
   }
 }

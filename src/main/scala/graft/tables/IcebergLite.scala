@@ -77,10 +77,12 @@ object IcebergLite {
   def listSnapshots(root: String): Seq[Long] = {
     val d = metaDir(root)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(d)) { stream => // close: fd leak on repeated calls
+      stream.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
   }
 
   /** Append `df` (which must carry `convCol`) as a new snapshot, bucketed by

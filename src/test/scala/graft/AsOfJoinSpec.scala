@@ -116,4 +116,68 @@ class AsOfJoinSpec extends SparkSpec {
     val expected = Map(1L -> (Some(1001L), Some(1.0)), 2L -> (None, None))
     variants.foreach { case (name, f) => assert(run(f, left, right) == expected, name) }
   }
+
+  test("non-long key type (int) is supported and all variants agree") {
+    import org.apache.spark.sql.functions.col
+    val (left, right) = scenario(11L, nKeys = 5, nLeft = 120, nRight = 60)
+    val expected = inMemory(left, right)
+    def asInt(df: DataFrame) = df.withColumn("user_id", col("user_id").cast("int"))
+    (variants :+ ("mergedScalable" -> ((l: DataFrame, r: DataFrame) =>
+      AsOfJoin.mergedScalable(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))))
+    ).foreach { case (name, f) =>
+      val got = f(asInt(left.toDF()), asInt(right.toDF())).collect().map { r =>
+        val id = r.getLong(r.fieldIndex("event_id"))
+        val aid = Option(r.get(r.fieldIndex("asof_event_id"))).map(_.asInstanceOf[Long])
+        val av = Option(r.get(r.fieldIndex("asof_value"))).map(_.asInstanceOf[Double])
+        id -> (aid, av)
+      }.toMap
+      assert(got == expected, s"int-key variant $name")
+    }
+  }
+
+  test("null keys: payloads carry within the null group, all variants agree") {
+    import org.apache.spark.sql.functions.{col, when}
+    // many null-key rows so the null group spans range-partition boundaries
+    val left = (0 until 200).map(i => L(if (i % 2 == 0) 0L else 1L, i.toLong, t(i.toLong)))
+    val right = Seq(R(0, t(0), 1000, 1.0), R(1, t(0), 1001, 2.0))
+    def nullify(df: DataFrame) = df.withColumn("user_id",
+      when(col("user_id") === 0L, null).otherwise(col("user_id")))
+    def runNull(f: (DataFrame, DataFrame) => DataFrame) =
+      f(nullify(left.toDF()), nullify(right.toDF())).collect().map { r =>
+        r.getLong(r.fieldIndex("event_id")) ->
+          Option(r.get(r.fieldIndex("asof_event_id"))).map(_.asInstanceOf[Long])
+      }.toMap
+    val fromWindowed = runNull((l, r) =>
+      AsOfJoin.windowed(l, r, "user_id", "ts", "event_id", Seq("event_id", "value")))
+    // engine semantic: null keys form ONE group (Window.partitionBy groups
+    // nulls; NOT SQL equi-join NULL-never-matches) — all variants must agree,
+    // including the boundary carry in mergedScalable (haveCarry flag, not a
+    // null-key sentinel)
+    (0 until 200 by 2).foreach(i =>
+      assert(fromWindowed(i.toLong).contains(1000L), s"null anchor $i"))
+    assert(fromWindowed(1L).contains(1001L))
+    for ((name, f) <- Seq(
+      "merged" -> ((l: DataFrame, r: DataFrame) =>
+        AsOfJoin.merged(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
+      "mergedScalable" -> ((l: DataFrame, r: DataFrame) =>
+        AsOfJoin.mergedScalable(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"),
+          numPartitions = 8))))
+      assert(runNull(f) == fromWindowed, s"null-key variant $name")
+  }
+
+  test("broadcastIndex fails fast on an oversized right side and bad key types") {
+    val (left, right) = scenario(13L, nKeys = 3, nLeft = 20, nRight = 15)
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.broadcastIndex(left.toDF(), right.toDF(), "user_id", "ts", "event_id",
+        Seq("event_id", "value"), maxIndexRows = 5)
+    }
+    assert(e.getMessage.contains("maxIndexRows"))
+    import org.apache.spark.sql.functions.col
+    val binKey = (df: DataFrame) => df.withColumn("user_id",
+      col("user_id").cast("string").cast("binary"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.merged(binKey(left.toDF()), binKey(right.toDF()), "user_id", "ts",
+        "event_id", Seq("event_id", "value"))
+    }
+  }
 }

@@ -64,6 +64,17 @@ class MlSpec extends SparkSpec {
     assert(m(1) > m(0))
   }
 
+  test("stacking meta-LR separates at least as well as the base soft vote") {
+    val stacked = Models.stack(data, Seq("x1", "x2"), "y", "id", k = 3)
+    assert(stacked.count() == data.count())
+    assert(stacked.columns.contains("p_stack"))
+    val m = stacked.groupBy("y").agg(avg("p_stack"), avg("p_vote")).collect()
+      .map(x => x.getInt(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(m(1)._1 > m(0)._1, "meta probabilities separate the classes")
+    assert((m(1)._1 - m(0)._1) > 0.8 * (m(1)._2 - m(0)._2),
+      "meta separation not far below the soft vote's")
+  }
+
   test("pairwise interactions: all C(n,2) products, exact values") {
     val df = Seq((1L, 2.0, 3.0, 5.0)).toDF("id", "a", "b", "c")
     val got = graft.ops.StatOps.pairwiseInteractions(df, Seq("a", "b", "c")).collect()(0)

@@ -55,6 +55,20 @@ class ReferenceParitySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("entityStats round2dp flag = bround(avg, 2) over the unrounded domain") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = Pipelines.entityStats(spark, dir)
+    val rounded = Pipelines.entityStats(spark, dir, round2dp = true)
+    val expect = Pipelines.quartet.foldLeft(plain) { (df, q) =>
+      df.withColumn(s"${q}_avg", bround(col(s"${q}_avg"), 2))
+    }
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(key(rounded) == key(expect))
+    // and the rounded domain actually differs somewhere (the flag does work)
+    assert(key(rounded) != key(plain))
+  }
+
   test("null audit: passes on clean data, names the offending columns") {
     val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     assert(DataOps.nullAudit(clean, Seq("id", "s")).count() == 2)
