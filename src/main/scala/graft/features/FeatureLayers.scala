@@ -134,12 +134,14 @@ object FeatureLayers {
       level(n) = if (deps.isEmpty) 0 else deps.map(level).max + 1
     }
     val asAttribute: String => Ex = n => Ref(n) // never inline; read the column
-    (0 to level.values.max).foldLeft(df) { (acc, l) =>
+    val staged = (0 to level.values.max).foldLeft(df) { (acc, l) =>
       val stage = fs.collect { case (n, ex) if level(n) == l =>
         Formula.toColumn(ex, asAttribute).as(n)
       }
       acc.select(col("*") +: stage.toIndexedSeq: _*)
     }
+    // restore the reference's column order (leveling appends out of order)
+    staged.select((df.columns.map(col) ++ fs.map(f => col(f._1))).toIndexedSeq: _*)
   }
 
   /** The same features as SQL projection snippets: name -> expression text. */

@@ -13,6 +13,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a LogicalPlan as a DataFrame (classic Dataset.ofRows is
+    * private[sql]) — used to surface custom logical nodes (graft.plans). */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Wrap an RDD[InternalRow] as a DataFrame without external-Row conversion
     * (the classic session's private[sql] internalCreateDataFrame). */
   def internalCreateDataFrame(

@@ -48,7 +48,8 @@ class AsOfJoinSpec extends SparkSpec {
   private val variants: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
     "windowed" -> ((l, r) => AsOfJoin.windowed(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
     "merged" -> ((l, r) => AsOfJoin.merged(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
-    "broadcastIndex" -> ((l, r) => AsOfJoin.broadcastIndex(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))))
+    "broadcastIndex" -> ((l, r) => AsOfJoin.broadcastIndex(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
+    "planned" -> ((l, r) => graft.plans.AsOfPlan.asOfJoin(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))))
 
   test("all three variants equal the in-memory oracle on random scenarios") {
     for (seed <- Seq(1L, 2L, 3L)) {
@@ -161,8 +162,27 @@ class AsOfJoinSpec extends SparkSpec {
         AsOfJoin.merged(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"))),
       "mergedScalable" -> ((l: DataFrame, r: DataFrame) =>
         AsOfJoin.mergedScalable(l, r, "user_id", "ts", "event_id", Seq("event_id", "value"),
-          numPartitions = 8))))
+          numPartitions = 8)),
+      "planned" -> ((l: DataFrame, r: DataFrame) =>
+        graft.plans.AsOfPlan.asOfJoin(l, r, "user_id", "ts", "event_id", Seq("event_id", "value")))))
       assert(runNull(f) == fromWindowed, s"null-key variant $name")
+  }
+
+  test("planned variant: EXPLAIN shows the native operator, exchanges and sorts") {
+    import org.apache.spark.sql.functions.col
+    val (left, right) = scenario(21L, nKeys = 5, nLeft = 100, nRight = 50)
+    val df = graft.plans.AsOfPlan.asOfJoin(left.toDF(), right.toDF(),
+      "user_id", "ts", "event_id", Seq("event_id", "value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMerge"), s"native node missing:\n$plan")
+    assert(!plan.contains("!AsOfMerge"), s"unresolved references in plan:\n$plan")
+    // EnsureRequirements satisfied the declared needs — no hand-built shuffle
+    assert(plan.contains("Exchange") && plan.contains("Sort"), s"plan:\n$plan")
+    // self-as-of (duplicate ExprIds across children) resolves via re-aliasing
+    val ev = left.toDF()
+    val self = graft.plans.AsOfPlan.asOfJoin(ev, ev.filter(col("event_id") % 2 === 0),
+      "user_id", "ts", "event_id", Seq("event_id"))
+    assert(self.count() == left.size)
   }
 
   test("broadcastIndex fails fast on an oversized right side and bad key types") {
