@@ -632,6 +632,38 @@ object OracleSql {
        |)
        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4""".stripMargin
 
+  /** LSH-bucket SQL for an embedding list expression (mirrors
+    * Similarity.lshBucket bit-for-bit: same long weight arithmetic, same
+    * sequential double fold, same sign threshold). */
+  private def sqlLshBucket(e: String, bits: Int, seed: Long): String = {
+    val planes = (0 until bits).map { b =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, len($e) + 1),
+         |      i -> CAST($e[i] AS DOUBLE) *
+         |        (CAST((i * 2654435761 + ${seed + b * 7919L}) * 40503 % 1000003 AS DOUBLE)
+         |          / 500001.5 - 1.0))),
+         |    (a, x) -> a + x) >= 0
+         |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }
+    planes.mkString("(", " +\n  ", ")")
+  }
+
+  /** Bucketed ANN top-k (mirrors Similarity.lshTopK, bits=4, seed=42):
+    * candidates = rows in the query's hyperplane-sign bucket, exact cosine,
+    * top 10. */
+  val qAnnLsh: String =
+    s"""WITH q AS (
+       |  SELECT embedding AS qe, ${sqlLshBucket("embedding", 4, 42L)} AS qb
+       |  FROM embeddings WHERE vec_id = 0
+       |),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding, q.qe
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> 0 AND ${sqlLshBucket("e.embedding", 4, 42L)} = q.qb
+       |)
+       |SELECT vec_id, ${sqlCosine("embedding", "qe")} AS cos_sim
+       |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

@@ -199,6 +199,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         queryDf = emb.filter(col("vec_id") === 0), k = 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") === 0), k = 10, bits = 4, seed = 42L)
     })
   )
 
@@ -248,6 +254,7 @@ object SparkEntry {
     "q_dedup_exact" -> OracleSql.qDedupExact,
     "q_token_stats" -> OracleSql.qTokenStats,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
+    "q_ann_lsh" -> OracleSql.qAnnLsh,
     "q_embed_similar" -> OracleSql.qEmbedSimilar
   )
 }

@@ -147,6 +147,42 @@ object Models {
     (best._2, best._1)
   }
 
+  /** RandomizedSearchCV analog (`directory/XGB_RF_LR_CV.py:43-100`): sample
+    * `nIter` parameter combos with a seeded RNG from the cross-product space
+    * (the reference samples 12 combos of its XGB/RF/LR spaces rather than
+    * exhausting the grid), evaluate each with stratified k-fold accuracy,
+    * return combos ranked best-first. `family`: "lr" (regParam /
+    * elasticNetParam) or "rf" (numTrees / maxDepth). */
+  def randomizedSearch(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
+                       space: Map[String, Seq[Double]], nIter: Int = 12, k: Int = 3,
+                       seed: Long = 42L, family: String = "lr"): Seq[(Map[String, Double], Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val keys = space.keys.toSeq.sorted
+    val combos = Seq.fill(nIter)(
+      keys.map(kk => kk -> space(kk)(rnd.nextInt(space(kk).size))).toMap).distinct
+    val folded = CategoricalOps.stratifiedFolds(df, idCol, labelCol, k).cache()
+    val ranked = combos.map { params =>
+      val accs = (0 until k).map { f =>
+        val train = assemble(folded.filter(col("fold") =!= f), features, labelCol)
+        val test = assemble(folded.filter(col("fold") === f), features, labelCol)
+        val model = family match {
+          case "lr" => new LogisticRegression().setMaxIter(30)
+            .setRegParam(params.getOrElse("regParam", 0.0))
+            .setElasticNetParam(params.getOrElse("elasticNetParam", 0.0)).fit(train)
+          case "rf" => new RandomForestClassifier()
+            .setNumTrees(params.getOrElse("numTrees", 50.0).toInt)
+            .setMaxDepth(params.getOrElse("maxDepth", 5.0).toInt).setSeed(42L).fit(train)
+        }
+        model.transform(test).agg(
+          (sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("acc")).collect()(0).getDouble(0)
+      }
+      params -> accs.sum / accs.size
+    }.sortBy(-_._2)
+    folded.unpersist()
+    ranked
+  }
+
   /** OOF soft-voting / stacking base: out-of-fold probability column per
     * model family (`directory/Stacking_SMOTE_XGB_LR_RF.py:67-85`). */
   def oofProbabilities(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,

@@ -75,6 +75,19 @@ class MlSpec extends SparkSpec {
       "meta separation not far below the soft vote's")
   }
 
+  test("randomized search samples the space and ranks a working combo first") {
+    val space = Map("regParam" -> Seq(0.0, 0.01, 0.1, 10.0), "elasticNetParam" -> Seq(0.0, 0.5))
+    val ranked = Models.randomizedSearch(data, Seq("x1", "x2"), "y", "id",
+      space, nIter = 6, k = 3, seed = 42L, family = "lr")
+    assert(ranked.nonEmpty && ranked.size <= 6)
+    assert(ranked.head._2 >= ranked.last._2, "ranked best-first")
+    assert(ranked.head._2 > 0.8, "separable data: best combo accuracy high")
+    // deterministic: same seed, same combos
+    val again = Models.randomizedSearch(data, Seq("x1", "x2"), "y", "id",
+      space, nIter = 6, k = 3, seed = 42L, family = "lr")
+    assert(again.map(_._1) == ranked.map(_._1))
+  }
+
   test("pairwise interactions: all C(n,2) products, exact values") {
     val df = Seq((1L, 2.0, 3.0, 5.0)).toDF("id", "a", "b", "c")
     val got = graft.ops.StatOps.pairwiseInteractions(df, Seq("a", "b", "c")).collect()(0)
