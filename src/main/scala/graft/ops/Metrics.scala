@@ -116,7 +116,9 @@ object Metrics {
   private def prCumulative(df: DataFrame, label: String, score: String): DataFrame = {
     val g = scoreHistogram(df, label, score)
     val cum = PrefixSum.runningSums(g, Seq(col("__s").desc), Seq("__n", "__p"))
-    val totals = g.agg(sum(col("__p")).as("__tp_total"))
+    // total positives = last (max) cumulative — read from the persisted
+    // prefix output instead of recomputing g's whole upstream a third time
+    val totals = cum.agg(max(col("__p_cum")).as("__tp_total"))
     cum.crossJoin(broadcast(totals))
   }
 

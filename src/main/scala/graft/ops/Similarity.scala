@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-to-right double dot product of two float arrays. */
+  /** Deterministic left-to-right double dot product of two float arrays
+    * (HOF form — spec cross-check only; production path is the native
+    * codegen'd graft.functions.CosineSim). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -26,7 +28,12 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF cosine — spec cross-check only. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native one-pass codegen'd expression (identical
+    * sequential-fold arithmetic; see CosineSim's parity contract). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Brute-force cosine top-k of `df.embCol` against the single query row
     * `queryDf` (one row, one array column). Query side is broadcast; the big

@@ -122,6 +122,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native cosine expression ≡ HOF fold, bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 100).map(i =>
+      (i.toLong, Array.fill(24)(rnd.nextFloat() - 0.5f), Array.fill(24)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "a", "b")
+    val nat = emb.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = emb.select(col("id"), Similarity.cosineHof(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nat == hof) // exact double equality — same fold order
+  }
+
   test("lsh topk agrees with brute force on the shared candidates") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
