@@ -175,11 +175,12 @@ object SparkEntry {
       TextAnalysis.withLangId(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))),
     "q_minhash_sig" -> ((s, dir) =>
-      // native one-pass signature (12 permutations share one string scan)
+      // native one-pass signature (12 permutations share one string scan);
+      // native array→string join keeps the projection in codegen
       Pipelines.table(s, dir, "documents")
         .select(col("doc_id"),
-          array_join(transform(Dedup.minHashSig(col("text"), 3, 12),
-            _.cast("string")), "_").as("sig"))),
+          graft.functions.TextExprs.long_array_join(
+            Dedup.minHashSig(col("text"), 3, 12), "_").as("sig"))),
     "q_lsh_pairs" -> ((s, dir) =>
       Dedup.minHashLshPairs(Pipelines.table(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, numHashes = 12, bands = 4)),

@@ -179,6 +179,25 @@ object TextExprs {
     out
   }
 
+  /** Join an array<long> as a separator-delimited string, skipping null
+    * elements (array_join semantics) — keeps signature rendering inside
+    * codegen where `array_join(transform(...))` would fall back. */
+  def longArrayJoin(a: ArrayData, sep: UTF8String): UTF8String = {
+    val n = a.numElements()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        if (!first) sb.append(sep.toString)
+        sb.append(a.getLong(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // ── Column-level entry points ──────────────────────────────────────────
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
   def token_set_count(c: Column, words: Seq[String]): Column =
@@ -188,6 +207,23 @@ object TextExprs {
   def minhash_sig(c: Column, k: Int, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k, numHashes))
   def simhash32(c: Column): Column = Bridge.column(SimHash32(Bridge.expression(c)))
+  def long_array_join(c: Column, sep: String): Column =
+    Bridge.column(LongArrayJoin(Bridge.expression(c), sep))
+}
+
+/** array_join(transform(longs, cast string), sep) as one native pass. */
+case class LongArrayJoin(child: Expression, sep: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val sepU = UTF8String.fromString(sep)
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprs.longArrayJoin(input.asInstanceOf[ArrayData], sepU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sep", sepU, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.longArrayJoin($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LongArrayJoin =
+    copy(child = newChild)
 }
 
 /** size(split(text, ' ')) without materializing the token array. */
