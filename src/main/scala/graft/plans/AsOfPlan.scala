@@ -37,6 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * AsOfJoinSpec): for each left row, the payload of the latest right row
   * with the same key and right.ts <= left.ts; null if none; null keys form
   * one group (Window.partitionBy semantics, NOT SQL equi-join nulls).
+  *
+  * Skew: ClusteredDistribution keeps a key inside one partition, so a
+  * mega-key lands on one task — same trade as SortMergeJoin. For keys that
+  * dominate partitions, use [[graft.ops.AsOfJoin.mergedScalable]] (range
+  * partitioning + boundary stitching), which stays the documented skew path.
   */
 object AsOfPlan {
 

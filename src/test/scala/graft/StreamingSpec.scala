@@ -34,6 +34,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming PIT window states ≡ batch windowStates on completed windows") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val turns = TranscriptGen.turns(spark, seed = 53L, nConvs = 15)
+    // one file → one micro-batch → whole-group ordering inside the fold
+    turns.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val width = 3600L
+
+    val stream = spark.readStream.schema(Turn.schema).parquet(s"$dir/in")
+      .select(col("conv_id"), col("turn_idx"), micros(col("ts")).as("tsUs"), col("role"))
+      .as[graft.streaming.StreamingPit.RoleTurn]
+    val q = graft.streaming.StreamingPit.statefulWindowStates(stream, Turn.roles, width)
+      .writeStream.outputMode("append").format("memory").queryName("pit_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("pit_stream").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getSeq[Long](3), r.getSeq[Long](4), r.getSeq[Double](5), r.getSeq[Long](6))
+    }.toMap
+
+    val batchRows = PitPipeline.windowStates(turns.toDF(), TranscriptCols.turns, Turn.roles, width)
+      .withColumn("ws_us", micros(col("window_start")))
+      .collect().map { r =>
+        val mins = Turn.roles.map(role => r.getLong(r.fieldIndex(s"${role}_min")))
+        val maxs = Turn.roles.map(role => r.getLong(r.fieldIndex(s"${role}_max")))
+        val avgs = Turn.roles.map(role => r.getDouble(r.fieldIndex(s"${role}_avg")))
+        val counts = Turn.roles.map(role => r.getLong(r.fieldIndex(s"${role}_count")))
+        (r.getString(r.fieldIndex("conv_id")), r.getLong(r.fieldIndex("ws_us"))) ->
+          (mins, maxs, avgs, counts)
+      }
+    // drop each conversation's LAST window — still open at stream end,
+    // therefore (correctly, per PIT semantics) never emitted by the stream
+    val lastPerConv = batchRows.groupBy(_._1._1).view.mapValues(_.map(_._1._2).max).toMap
+    val expected = batchRows.filterNot { case ((conv, ws), _) => lastPerConv(conv) == ws }.toMap
+    assert(streamed.nonEmpty && streamed == expected)
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches batch session ids") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val turns = TranscriptGen.turns(spark, seed = 52L, nConvs = 10)
