@@ -562,6 +562,14 @@ object OracleSql {
       |  COALESCE(e.event_type_n, mo.mv) AS event_type_n
       |FROM e, med, mo""".stripMargin
 
+  /** JSON path extraction over the events props column + rollup
+    * (mirrors q_json_extract; exact BIGINT sums). */
+  val qJsonExtract: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Top-20 entities by total activity (TakeOrderedAndProject analog of the
     * reference's top-20 importance listing). */
   val qTopEntities: String =

@@ -121,6 +121,15 @@ object SparkEntry {
         Windowize.dayType(bj).as("day_type"),
         Windowize.timePeriod(bj).as("time_period"))
     }),
+    "q_json_extract" -> ((s, dir) =>
+      // semi-structured props: JSON path extraction (codegen'd
+      // get_json_object) + grain rollup — the metadata-column pattern a
+      // training-data pipeline uses for provenance/quality fields
+      Pipelines.table(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))),
     "q_top_entities" -> ((s, dir) =>
       Pipelines.entity(s, dir)
         .select(col("user_id"),
@@ -234,6 +243,7 @@ object SparkEntry {
     "q_interactions" -> OracleSql.qInteractions,
     "q_ts_parse" -> OracleSql.qTsParse,
     "q_top_entities" -> OracleSql.qTopEntities,
+    "q_json_extract" -> OracleSql.qJsonExtract,
     "q_scan_agg" -> OracleSql.qScanAgg,
     "q_join_broadcast" -> OracleSql.qJoinBroadcast,
     "q_join_fact" -> OracleSql.qJoinFact,
