@@ -562,6 +562,24 @@ object OracleSql {
       |  COALESCE(e.event_type_n, mo.mv) AS event_type_n
       |FROM e, med, mo""".stripMargin
 
+  /** StandardScaler from exact integer moments (mirrors
+    * StatOps.standardScaleMoments over value cents). */
+  val qStandardScale: String =
+    """WITH c AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_c FROM events
+      |),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_c) AS BIGINT) AS s1,
+      |    CAST(SUM(value_c * value_c) AS BIGINT) AS s2
+      |  FROM c
+      |)
+      |SELECT c.event_id,
+      |  (CAST(c.value_c AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+      |    / sqrt((CAST(st.s2 AS DOUBLE)
+      |        - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE))
+      |      / CAST(st.n - 1 AS DOUBLE)) AS value_c_scaled
+      |FROM c, st""".stripMargin
+
   /** JSON path extraction over the events props column + rollup
     * (mirrors q_json_extract; exact BIGINT sums). */
   val qJsonExtract: String =

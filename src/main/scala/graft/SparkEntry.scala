@@ -121,6 +121,11 @@ object SparkEntry {
         Windowize.dayType(bj).as("day_type"),
         Windowize.timePeriod(bj).as("time_period"))
     }),
+    "q_standard_scale" -> ((s, dir) =>
+      StatOps.standardScaleMoments(
+        Pipelines.table(s, dir, "events")
+          .withColumn("value_c", round(col("value") * 100).cast("long")),
+        "event_id", "value_c")),
     "q_json_extract" -> ((s, dir) =>
       // semi-structured props: JSON path extraction (codegen'd
       // get_json_object) + grain rollup — the metadata-column pattern a
@@ -244,6 +249,7 @@ object SparkEntry {
     "q_ts_parse" -> OracleSql.qTsParse,
     "q_top_entities" -> OracleSql.qTopEntities,
     "q_json_extract" -> OracleSql.qJsonExtract,
+    "q_standard_scale" -> OracleSql.qStandardScale,
     "q_scan_agg" -> OracleSql.qScanAgg,
     "q_join_broadcast" -> OracleSql.qJoinBroadcast,
     "q_join_fact" -> OracleSql.qJoinFact,
