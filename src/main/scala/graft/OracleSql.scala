@@ -378,21 +378,38 @@ object OracleSql {
        |  array_to_string(list_transform(sg, x -> CAST(x AS VARCHAR)), '_') AS sig
        |FROM sig""".stripMargin
 
-  /** LSH candidate pairs: band the 12-hash signature into 4 bands of 3,
+  /** LSH candidate-pair CTE: band the 12-hash signature into 4 bands of 3,
     * bucket-join within (band, bucket), id_a < id_b, distinct (mirrors
-    * Dedup.minHashLshPairs). */
-  val qLshPairs: String =
-    s"""WITH $minHashSigCte,
+    * Dedup.minHashLshPairs). Produces `pairs(id_a, id_b)`. */
+  private val lshPairsCte: String =
+    s"""$minHashSigCte,
        |banded AS (
        |  SELECT doc_id, b.band,
        |    array_to_string(list_transform(
        |      list_slice(sg, b.band * 3 + 1, b.band * 3 + 3),
        |      x -> CAST(x AS VARCHAR)), '_') AS bucket
        |  FROM sig, (SELECT CAST(i AS INTEGER) AS band FROM range(4) t(i)) b
-       |)
-       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |FROM banded l JOIN banded r
-       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |)""".stripMargin
+
+  val qLshPairs: String = s"WITH $lshPairsCte\nSELECT id_a, id_b FROM pairs"
+
+  /** Candidate-then-verify dedup pipeline: LSH candidate pairs → exact
+    * token-set Jaccard (mirrors Dedup.ngramJaccard over minHashLshPairs —
+    * set sizes are exact ints, one double division). */
+  val qJaccardVerify: String =
+    s"""WITH $lshPairsCte,
+       |g AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS gr FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(ga.gr, gb.gr))) AS DOUBLE) AS jaccard
+       |FROM pairs p
+       |JOIN g ga ON ga.doc_id = p.id_a
+       |JOIN g gb ON gb.doc_id = p.id_b""".stripMargin
 
   /** Degree-2 interaction-only polynomial features over the entity stats
     * (PolynomialFeatures interaction_only, `LR_Advanced.py:511-528`) —

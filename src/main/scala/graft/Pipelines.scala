@@ -46,11 +46,18 @@ object Pipelines {
     * one tiny agg and broadcast back — no second scan of the fact table
     * beyond the re-read Catalyst plans (slots is cheap to recompute or
     * cacheable by the caller at scale). */
-  def slotsCleaned(spark: SparkSession, dir: String): DataFrame = {
+  def slotsCleaned(spark: SparkSession, dir: String, approxAccuracy: Int = 0): DataFrame = {
     val s = slots(spark, dir)
-    val th = s.agg(
-      expr("percentile(view_count, 0.99D)").as("__p99_view"),
-      expr("percentile(purchase_count, 0.99D)").as("__p99_buy"))
+    // approxAccuracy > 0: approx_percentile sketch for the 10^12-row regime
+    // (bounded memory; rank error ≤ n/accuracy) — the exact default is the
+    // oracle-checked reference-parity path (SURVEY §7.5)
+    val th =
+      if (approxAccuracy > 0) s.agg(
+        expr(s"approx_percentile(view_count, 0.99D, $approxAccuracy)").cast("double").as("__p99_view"),
+        expr(s"approx_percentile(purchase_count, 0.99D, $approxAccuracy)").cast("double").as("__p99_buy"))
+      else s.agg(
+        expr("percentile(view_count, 0.99D)").as("__p99_view"),
+        expr("percentile(purchase_count, 0.99D)").as("__p99_buy"))
     val flagged = s.crossJoin(broadcast(th)).withColumn("suspected_spider",
       when((col("view_count") > col("__p99_view") && col("purchase_count") === 0) ||
            (col("purchase_count") > col("__p99_buy") && col("view_count") < 5), 1).otherwise(0))

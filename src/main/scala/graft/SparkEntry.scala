@@ -202,6 +202,14 @@ object SparkEntry {
     // — training-data pipeline operators (documents / embeddings) —
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Pipelines.table(s, dir, "documents"), "doc_id", "text")),
+    "q_jaccard_verify" -> ((s, dir) => {
+      // the full candidate-then-verify dedup pipeline: banded LSH recall
+      // pass, then exact token-set Jaccard precision pass on candidates only
+      val docs = Pipelines.table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 12, bands = 4)
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 1)
+    }),
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
@@ -269,6 +277,7 @@ object SparkEntry {
     "q_minhash_sig" -> OracleSql.qMinHashSig,
     "q_lsh_pairs" -> OracleSql.qLshPairs,
     "q_dedup_exact" -> OracleSql.qDedupExact,
+    "q_jaccard_verify" -> OracleSql.qJaccardVerify,
     "q_token_stats" -> OracleSql.qTokenStats,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
     "q_ann_lsh" -> OracleSql.qAnnLsh,

@@ -15,11 +15,23 @@ object StatOps {
 
   /** IQR clip: clip each column to [Q1 - 1.5·IQR, Q3 + 1.5·IQR]
     * (`LR_Advanced.py:548-556`). Exact percentiles (pandas-compatible linear
-    * interpolation); single agg pass for all columns. */
-  def iqrClip(df: DataFrame, cols: Seq[String], factor: Double = 1.5): DataFrame = {
+    * interpolation) by default — the oracle-checked path; single agg pass
+    * for all columns.
+    *
+    * `approxAccuracy > 0` switches to `approx_percentile` (Greenwald-Khanna,
+    * bounded-memory sketch): at 10^12 rows the exact percentile's
+    * sort-based buffer per column is the wrong trade, the sketch's rank
+    * error ≤ n/accuracy is not (SURVEY §7.5 "exact quantiles at scale").
+    * StatOpsSpec pins the approx path within tolerance of exact. */
+  def iqrClip(df: DataFrame, cols: Seq[String], factor: Double = 1.5,
+              approxAccuracy: Int = 0): DataFrame = {
     val aggs = cols.flatMap { c =>
-      Seq(expr(s"percentile($c, 0.25D)").as(s"__q1_$c"),
-        expr(s"percentile($c, 0.75D)").as(s"__q3_$c"))
+      if (approxAccuracy > 0)
+        Seq(expr(s"approx_percentile($c, 0.25D, $approxAccuracy)").cast("double").as(s"__q1_$c"),
+          expr(s"approx_percentile($c, 0.75D, $approxAccuracy)").cast("double").as(s"__q3_$c"))
+      else
+        Seq(expr(s"percentile($c, 0.25D)").as(s"__q1_$c"),
+          expr(s"percentile($c, 0.75D)").as(s"__q3_$c"))
     }
     val th = df.agg(aggs.head, aggs.tail: _*)
     val clipped = df.crossJoin(broadcast(th))

@@ -94,6 +94,25 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(gotAp - expAp) < 1e-12, s"got=$gotAp exp=$expAp")
   }
 
+  test("approx-quantile scale path stays within tolerance of the exact path") {
+    val dir = "/root/testdata/sf0.001"
+    val cols = Pipelines.quartet.map(q => s"${q}_count")
+    val exact = ops.StatOps.iqrClip(Pipelines.slots(spark, dir), cols)
+    val approx = ops.StatOps.iqrClip(Pipelines.slots(spark, dir), cols, approxAccuracy = 10000)
+    assert(exact.count() == approx.count())
+    val key = Seq("user_id", "day_type", "time_period")
+    val joined = exact.select((key.map(col) ++ cols.map(c => col(c).as(s"e_$c"))): _*)
+      .join(approx.select((key.map(col) ++ cols.map(c => col(c).as(s"a_$c"))): _*), key)
+    cols.foreach { c =>
+      val maxDiff = joined.agg(max(abs(col(s"e_$c") - col(s"a_$c")))).collect()(0).getDouble(0)
+      assert(maxDiff <= 2.0, s"$c approx clip drifted: $maxDiff") // counts are small ints
+    }
+    // bot filter: approx P99 keeps within a handful of rows of exact
+    val ce = Pipelines.slotsCleaned(spark, dir).count()
+    val ca = Pipelines.slotsCleaned(spark, dir, approxAccuracy = 10000).count()
+    assert(math.abs(ce - ca) <= math.max(5L, ce / 100))
+  }
+
   test("no single-partition window in any metric plan") {
     // the round-1 aucRoc planned a WindowExec with an empty partition spec;
     // the rewritten plans must not contain ANY global Window node
