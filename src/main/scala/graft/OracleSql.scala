@@ -579,6 +579,17 @@ object OracleSql {
       |  COALESCE(e.event_type_n, mo.mv) AS event_type_n
       |FROM e, med, mo""".stripMargin
 
+  /** Salted two-phase aggregation == plain GROUP BY (mirrors q_salted_agg;
+    * the oracle is the direct form — equality IS the correctness claim). */
+  val qSaltedAgg: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS value_c FROM events
+      |)
+      |SELECT user_id, COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS value_c,
+      |  CAST(MIN(value_c) AS BIGINT) AS value_c_min,
+      |  CAST(MAX(value_c) AS BIGINT) AS value_c_max
+      |FROM c GROUP BY user_id""".stripMargin
+
   /** StandardScaler from exact integer moments (mirrors
     * StatOps.standardScaleMoments over value cents). */
   val qStandardScale: String =

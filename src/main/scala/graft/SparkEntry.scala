@@ -121,6 +121,17 @@ object SparkEntry {
         Windowize.dayType(bj).as("day_type"),
         Windowize.timePeriod(bj).as("time_period"))
     }),
+    "q_salted_agg" -> ((s, dir) => {
+      // explicit skew path under the correctness gate: two-phase salted
+      // aggregation == plain GROUP BY for algebraic aggs (exact cent sums)
+      val e = Pipelines.table(s, dir, "events")
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .withColumn("value_c_min", col("value_c"))
+        .withColumn("value_c_max", col("value_c"))
+      Skew.saltedAggregate(e, keys = Seq("user_id"), saltSrc = "event_id", salts = 16,
+        aggs = Seq(Skew.countAll("n"), Skew.sumL("value_c"),
+          Skew.minL("value_c_min"), Skew.maxL("value_c_max")))
+    }),
     "q_standard_scale" -> ((s, dir) =>
       StatOps.standardScaleMoments(
         Pipelines.table(s, dir, "events")
@@ -258,6 +269,7 @@ object SparkEntry {
     "q_top_entities" -> OracleSql.qTopEntities,
     "q_json_extract" -> OracleSql.qJsonExtract,
     "q_standard_scale" -> OracleSql.qStandardScale,
+    "q_salted_agg" -> OracleSql.qSaltedAgg,
     "q_scan_agg" -> OracleSql.qScanAgg,
     "q_join_broadcast" -> OracleSql.qJoinBroadcast,
     "q_join_fact" -> OracleSql.qJoinFact,
