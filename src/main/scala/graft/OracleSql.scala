@@ -162,6 +162,14 @@ object OracleSql {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
 
+  /** Opaque-binary metadata over utf-8 blobs (mirrors q_binary_meta). */
+  val qBinaryMeta: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  hex(encode(text))[1:16] AS head_hex,
+      |  hex(encode(text))[33:48] AS frame_hex
+      |FROM documents""".stripMargin
+
   /** Exact dedup over documents (hash-groupBy semantics). */
   val qDedupExact: String =
     """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS n_dups

@@ -211,6 +211,17 @@ object SparkEntry {
         shingleK = 3, numHashes = 12, bands = 4)),
 
     // — training-data pipeline operators (documents / embeddings) —
+    "q_binary_meta" -> ((s, dir) => {
+      // opaque-binary metadata pattern (the multimodal plumbing, minus
+      // codecs): utf-8 bytes stand in for media blobs — byte length, header
+      // bytes, and a "frame" slice at a fixed offset, all hex-rendered
+      val bin = encode(col("text"), "UTF-8")
+      Pipelines.table(s, dir, "documents").select(
+        col("doc_id"),
+        length(bin).as("n_bytes"),
+        substring(hex(bin), 1, 16).as("head_hex"),
+        substring(hex(bin), 33, 16).as("frame_hex"))
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Pipelines.table(s, dir, "documents"), "doc_id", "text")),
     "q_jaccard_verify" -> ((s, dir) => {
@@ -290,6 +301,7 @@ object SparkEntry {
     "q_lsh_pairs" -> OracleSql.qLshPairs,
     "q_dedup_exact" -> OracleSql.qDedupExact,
     "q_jaccard_verify" -> OracleSql.qJaccardVerify,
+    "q_binary_meta" -> OracleSql.qBinaryMeta,
     "q_token_stats" -> OracleSql.qTokenStats,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
     "q_ann_lsh" -> OracleSql.qAnnLsh,
