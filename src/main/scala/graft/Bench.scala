@@ -107,9 +107,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
     // belt-and-braces for the driver's parser: a well-known file AND the
-    // final bare stdout line (build.sbt StdoutOutput keeps it unprefixed)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench.json"), json)
-    catch { case _: Throwable => }
+    // final bare stdout line (build.sbt StdoutOutput keeps it unprefixed).
+    // cwd-relative (forked run cwd = repo root) so it works from any checkout
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
     println(json)
   }

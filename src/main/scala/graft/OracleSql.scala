@@ -606,7 +606,7 @@ object OracleSql {
       |),
       |st AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value_c) AS BIGINT) AS s1,
-      |    CAST(SUM(value_c * value_c) AS BIGINT) AS s2
+      |    SUM(CAST(value_c AS HUGEINT) * value_c) AS s2
       |  FROM c
       |)
       |SELECT c.event_id,

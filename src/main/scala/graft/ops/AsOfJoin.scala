@@ -51,7 +51,7 @@ object AsOfJoin {
     StringType, ByteType, ShortType, IntegerType, LongType, BooleanType,
     DateType, TimestampType, TimestampNTZType)
 
-  private def requireKeyType(df: DataFrame, key: String, op: String): Unit = {
+  private[graft] def requireKeyType(df: DataFrame, key: String, op: String): Unit = {
     val dt = df.schema(key).dataType
     require(SupportedKeyTypes.contains(dt),
       s"AsOfJoin.$op: unsupported key type $dt for '$key' — supported: " +

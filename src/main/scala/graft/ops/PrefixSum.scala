@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * `sumCols` must be LongType (cast upfront — exact integer prefix sums are
   * also what keeps the DuckDB-oracle hash compare bit-stable); nulls count
   * as 0. Appends `<col>_cum` columns.
+  *
+  * `orderCols` must order rows UNIQUELY: per-row cumulative values of TIED
+  * rows depend on which side of a range boundary a tie lands — callers here
+  * always order by a distinct key (post-groupBy scores). Per-partition
+  * totals (and therefore all downstream group-level sums) are tie-safe.
+  *
+  * No persist: both passes pull the same QueryExecution RDD, so pass 2
+  * reuses pass 1's shuffle files (only the cheap within-partition sort
+  * re-runs) — the operator holds no cache entries after it returns.
   */
 object PrefixSum {
 
@@ -39,7 +48,6 @@ object PrefixSum {
     val sorted = df
       .repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxs = sumCols.map(df.schema.fieldIndex).toArray
     val n = idxs.length
 
@@ -73,7 +81,6 @@ object PrefixSum {
     // pass 2: sequential per-partition sums seeded with the offsets
     val outSchema = StructType(df.schema.fields ++
       sumCols.map(c => StructField(s"${c}_cum", LongType, nullable = false)))
-    val nIn = df.schema.size
     val rdd = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outSchema)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow

@@ -74,20 +74,23 @@ object StatOps {
     cols.filter(c => v(c) > threshold)
   }
 
-  /** All pairwise interaction columns i*j over `cols`
-    * (PolynomialFeatures degree-2 interaction-only, `LR_Advanced.py:511-528`;
-    * names use `_x_` instead of sklearn's space). */
   /** Standard scaling ((x - mean) / stddev_samp, `LR_Advanced.py:621-623`)
     * from exact integer moments: the input must be LongType (scaled cents
     * etc.), so n/s1/s2 are exact and every engine derives the same doubles —
     * the plain avg/stddev_samp form sums doubles in partition order and is
     * not reproducible across partitionings, let alone engines. One tiny
-    * broadcast agg; the scan stays map-only. */
+    * broadcast agg; the scan stays map-only.
+    *
+    * The squared-sum accumulates as DECIMAL(38,0): a long sum of squares
+    * silently wraps at ~10^7 rows of 10^6-unit values — exactly the target
+    * scale (the DuckDB oracle sums into HUGEINT; both convert the same
+    * exact integer to double, so parity holds). */
   def standardScaleMoments(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
     require(df.schema(valueCol).dataType == org.apache.spark.sql.types.LongType,
       s"standardScaleMoments: $valueCol must be LongType (cast to exact units upfront)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val st = df.agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s1"),
-      sum(col(valueCol) * col(valueCol)).as("__s2"))
+      sum(col(valueCol).cast(dec) * col(valueCol).cast(dec)).as("__s2"))
     val mean = col("__s1").cast("double") / col("__n").cast("double")
     val varS = (col("__s2").cast("double") -
       col("__s1").cast("double") * col("__s1").cast("double") / col("__n").cast("double")) /
@@ -96,6 +99,9 @@ object StatOps {
       ((col(valueCol).cast("double") - mean) / sqrt(varS)).as(s"${valueCol}_scaled"))
   }
 
+  /** All pairwise interaction columns i*j over `cols`
+    * (PolynomialFeatures degree-2 interaction-only, `LR_Advanced.py:511-528`;
+    * names use `_x_` instead of sklearn's space). */
   def pairwiseInteractions(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size

@@ -57,6 +57,16 @@ object AsOfPlan {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightSeq: String, payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     val spark = left.sparkSession
+    // same fail-fast contracts as the Dataset-level variants: whitelisted
+    // key types (InternalRow equals-comparison soundness) and long-backed
+    // timestamps (the merge compares raw micros)
+    graft.ops.AsOfJoin.requireKeyType(left, key, "planned")
+    Seq(left.schema(ts).dataType, right.schema(ts).dataType).foreach { dt =>
+      require(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.LongType,
+        s"AsOfPlan.asOfJoin: ts must be timestamp/long (internally long micros), got $dt")
+    }
     ensureRegistered(spark)
     val rProj = right.select((Seq(key, ts, rightSeq) ++ payload).distinct.map(col): _*)
     val lPlan = left.queryExecution.analyzed

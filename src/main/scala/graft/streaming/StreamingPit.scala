@@ -25,6 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * window), partitioned by conv_id across executors by the streaming state
   * store; within a micro-batch a group's events are sorted by (ts,
   * turn_idx) — the batch engine's deterministic order.
+  *
+  * Late data (an event for a window older than the open one, arriving in a
+  * later micro-batch) is DROPPED, like a watermark-expired event: the
+  * window's row was already emitted and may have been consumed downstream,
+  * so incorporating the event would require retraction semantics this
+  * operator does not promise. StreamingSpec pins the drop behavior.
   */
 object StreamingPit {
 
@@ -69,14 +75,22 @@ object StreamingPit {
 
           sorted.foreach { e =>
             val winStart = e.tsUs - java.lang.Math.floorMod(e.tsUs, widthUs)
-            if (st.openStartUs != Long.MinValue && winStart > st.openStartUs) closeOpen()
-            val counts =
-              if (st.openStartUs == Long.MinValue) Seq.fill(n)(0L) else st.openCounts
-            val bumped = roleIdx.get(e.role) match {
-              case Some(i) => counts.updated(i, counts(i) + 1L)
-              case None    => counts // outside the closed role domain: not pivoted
+            if (st.openStartUs == Long.MinValue || winStart >= st.openStartUs) {
+              if (st.openStartUs != Long.MinValue && winStart > st.openStartUs) closeOpen()
+              val counts =
+                if (st.openStartUs == Long.MinValue) Seq.fill(n)(0L) else st.openCounts
+              val bumped = roleIdx.get(e.role) match {
+                case Some(i) => counts.updated(i, counts(i) + 1L)
+                case None    => counts // outside the closed role domain: not pivoted
+              }
+              st = st.copy(openStartUs = winStart, openCounts = bumped)
             }
-            st = st.copy(openStartUs = winStart, openCounts = bumped)
+            // else: LATE event for an already-closed window (arrived in a
+            // later micro-batch). Its window's state row was already emitted
+            // and downstream anchors may have consumed it — incorporating it
+            // would require retraction. Policy: drop, exactly like a
+            // watermark-expired event; counting it into the CURRENT window
+            // (the previous behavior) silently corrupted both windows.
           }
           state.update(st)
           out.result().iterator

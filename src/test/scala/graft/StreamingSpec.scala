@@ -71,6 +71,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == expected)
   }
 
+  test("streaming PIT drops late events for already-closed windows") {
+    import graft.streaming.StreamingPit
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    def mk(rows: Seq[(String, Int, Long, String)]) =
+      rows.toDF("conv_id", "turn_idx", "tsUs", "role")
+    // batch 1: W0 (t=100s) and W1 (t=3700s) events -> W0 closes + emits
+    mk(Seq(("c1", 0, 100000000L, "user"), ("c1", 1, 150000000L, "assistant"),
+      ("c1", 2, 3700000000L, "user")))
+      .coalesce(1).write.parquet(s"$dir/in/a.parquet".replace("a.parquet", "a"))
+    Thread.sleep(1100) // distinct modTime => deterministic file order
+    // batch 2: a LATE W0 event (t=200s, window already closed) + a W2 event
+    mk(Seq(("c1", 3, 200000000L, "user"), ("c1", 4, 7300000000L, "tool")))
+      .coalesce(1).write.parquet(s"$dir/in/b")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("turn_idx", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("tsUs", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("role", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      .as[StreamingPit.RoleTurn]
+    val q = StreamingPit.statefulWindowStates(stream, Turn.roles, 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("pit_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pit_late").collect()
+      .map(r => r.getLong(1) -> r.getSeq[Long](6)).toMap // window_start_us -> counts
+    // W0 emitted from batch 1 with its pre-late counts (1 user, 1 assistant);
+    // W1 emitted when W2 opened, cumulative counts unchanged by the late row
+    assert(rows.keySet == Set(0L, 3600000000L))
+    val userIdx = Turn.roles.indexOf("user")
+    assert(rows(0L)(userIdx) == 1L, "late event must NOT be retro-counted")
+    assert(rows(3600000000L)(userIdx) == 2L, "W1 cumulative = W0 + W1 users only")
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches batch session ids") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val turns = TranscriptGen.turns(spark, seed = 52L, nConvs = 10)
