@@ -155,6 +155,35 @@ object OracleSql {
       |FROM events e
       |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
+  /** Sliding last-3-rows per-entity stats (mirrors q_sliding_stats). */
+  val qSlidingStats: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)
+      |SELECT user_id, event_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+      |  CAST(MIN(value_c) OVER w AS BIGINT) AS win_min,
+      |  CAST(MAX(value_c) OVER w AS BIGINT) AS win_max,
+      |  CAST(SUM(value_c) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS win_avg
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Per-group top-3 by value (mirrors q_topk_per_group). */
+  val qTopkPerGroup: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT user_id, event_id, value_c,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY value_c DESC, event_id) AS INTEGER) AS rk
+      |  FROM c
+      |)
+      |SELECT user_id, event_id, value_c, rk FROM r WHERE rk <= 3""".stripMargin
+
   /** Hourly tumbling windows (mirrors Windowize.withTumblingWindow(3600)). */
   val qTumblingHour: String =
     """SELECT user_id, date_trunc('hour', ts) AS window_start,

@@ -72,6 +72,32 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           col("asof_event_id"), col("asof_value"))
     }),
+    "q_sliding_stats" -> ((s, dir) => {
+      // sliding (last-3-rows) per-entity stats — the bounded-frame window
+      // family (tumbling/session are covered elsewhere); partitioned by
+      // entity, so it scales like any keyed window
+      val e = Pipelines.table(s, dir, "events")
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("win_n"),
+        min(col("value_c")).over(w).as("win_min"),
+        max(col("value_c")).over(w).as("win_max"),
+        (sum(col("value_c")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("win_avg"))
+    }),
+    "q_topk_per_group" -> ((s, dir) => {
+      // per-group top-k (rank window partitioned by the group — never global)
+      val e = Pipelines.table(s, dir, "events")
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value_c").desc, col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("value_c"),
+        row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    }),
     "q_tumbling_hour" -> ((s, dir) =>
       Windowize.withTumblingWindow(Pipelines.table(s, dir, "events"), ev, seconds = 3600L)
         .groupBy(col("user_id"), col("window_start"))
@@ -266,6 +292,8 @@ object SparkEntry {
     "q_lag_lead" -> OracleSql.qLagLead,
     "q_asof_join" -> OracleSql.qAsofJoin,
     "q_tumbling_hour" -> OracleSql.qTumblingHour,
+    "q_sliding_stats" -> OracleSql.qSlidingStats,
+    "q_topk_per_group" -> OracleSql.qTopkPerGroup,
     "q_pit_backfill" -> OracleSql.qPitBackfill,
     "q_asof_windowed" -> OracleSql.qAsofJoin,
     "q_asof_bcast" -> OracleSql.qAsofJoin,
