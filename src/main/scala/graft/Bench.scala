@@ -89,9 +89,11 @@ object Bench {
       name -> t
     }
     // adaptive steady-state reps (rep 1 pays JIT + codegen + shuffle warm-up;
-    // round 1's fixed 2 reps under-reported throughput ~50× vs steady state)
+    // round 1's fixed 2 reps under-reported throughput ~50× vs steady state).
+    // Floor of 5: after the full query pass the JVM carries GC debt and the
+    // first few TPS reps routinely read 2-3× low.
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
-    val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var continue = true
     while (continue && runs.size < math.max(minReps, 8)) {
