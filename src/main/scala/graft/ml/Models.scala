@@ -32,10 +32,18 @@ object Models {
   }
 
   /** Deterministic minority-class oversampler (SMOTE analog,
-    * `LR_Advanced.py:626-627`): pairs consecutive minority rows (ordered by
-    * a Knuth scramble of the id) and emits midpoint interpolations until the
-    * classes balance. Distributed: one window + generator, no kNN search —
-    * a documented approximation of SMOTE's k-NN interpolation. */
+    * `LR_Advanced.py:626-627`): pairs each minority row with a NEAR NEIGHBOR
+    * — the next row of its LSH feature bucket (random-hyperplane signs over
+    * the feature vector, the same family as Similarity.lshBucket) — and
+    * emits midpoint interpolations until the classes balance.
+    *
+    * Documented deviations from sklearn SMOTE: the neighbor is the bucket
+    * successor (approximate 1-NN via LSH, not exact k-NN) and λ is fixed at
+    * 0.5 (not uniform random) for determinism/resumability.
+    *
+    * Scale shape: the pairing window partitions by bucket, so no
+    * single-task global window; for tiny minorities (< 64 rows) everything
+    * falls into one bucket, which is then bounded by construction. */
   def oversampleInterpolate(df: DataFrame, idCol: String, labelCol: String,
                             features: Seq[String]): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count().collect()
@@ -45,22 +53,33 @@ object Models {
     val maxN = counts.values.max
     val need = (maxN - minN).toInt
     if (need <= 0) return df
+    // 16 LSH buckets when the minority is big enough that per-bucket pair
+    // loss (one unpaired row per bucket) stays negligible
+    val bits = if (minN < 64) 0 else 4
+    val bucket =
+      if (bits == 0) lit(0)
+      else graft.ops.Similarity.lshBucket(
+        array(features.map(c => col(c).cast("double")): _*), bits, seed = 42L)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"))
       .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
     val minority = df.filter(col(labelCol) === minLabel)
+      .withColumn("__bkt", bucket)
       .withColumn("__rn", row_number().over(w))
     val next = features.map(c => lead(col(c), 1).over(w).as(s"__n_$c")) :+
       lead(col(idCol), 1).over(w).as("__n_id")
     val paired = minority.select((minority.columns.map(col) ++ next).toIndexedSeq: _*)
       .filter(col("__n_id").isNotNull)
-    val reps = (need + minN.toInt - 1) / math.max(1, minN.toInt - 1)
+    val pairsLow = math.max(1, minN.toInt - 1 - (1 << bits)) // ≥ minN - 1 - #buckets
+    val reps = (need + pairsLow - 1) / pairsLow
     val synth = paired
       .withColumn("__rep", explode(sequence(lit(1), lit(math.max(1, reps)))))
       .limit(need)
       .select(df.columns.map { c =>
         if (features.contains(c))
           ((col(c) + col(s"__n_$c")) / 2.0).as(c) // midpoint interpolation
-        else if (c == idCol) (-col("__rn").cast("long") * 100000L - col("__rep")).as(c)
+        else if (c == idCol)
+          (-(col("__bkt") * 1000000L + col("__rn").cast("long")) * 1000L - col("__rep")).as(c)
         else col(c)
       }.toIndexedSeq: _*)
     df.unionByName(synth)

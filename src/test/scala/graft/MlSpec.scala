@@ -35,6 +35,11 @@ class MlSpec extends SparkSpec {
     // deterministic
     val again = Models.oversampleInterpolate(data, "id", "y", Seq("x1", "x2", "noise"))
     assert(over.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    // synthetic rows (negative ids) interpolate within the minority's hull
+    val minLabel = counts0.minBy(_._2)._1
+    val minRows = data.filter(col("y") === minLabel).select("x1").collect().map(_.getDouble(0))
+    over.filter(col("id") < 0).select("x1").collect().map(_.getDouble(0))
+      .foreach(v => assert(v >= minRows.min && v <= minRows.max))
   }
 
   test("logistic regression learns the separable rule; RFE drops the noise feature") {
