@@ -191,6 +191,39 @@ object OracleSql {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
 
+  /** Composite document-quality gate (mirrors TextAnalysis.qualityFiltered:
+    * integer-exact rule stack, cross-multiplied ratio bounds). */
+  val qDocQuality: String = {
+    val markers = graft.ops.TextAnalysis.LangMarkers
+    val scores = markers.map { case (l, ws) =>
+      s"len(list_filter(tk, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n    ")
+    val greatestS = markers.map { case (l, _) => s"s_$l" }.mkString("GREATEST(", ", ", ")")
+    val langCases = markers.map { case (l, _) =>
+      s"WHEN s_$l = $greatestS AND s_$l > 0 THEN '$l'"
+    }.mkString("\n      ")
+    val stop = graft.ops.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_filter(tk, x -> x IN ($stop))) AS INTEGER) AS n_stop,
+       |    $scores
+       |  FROM t
+       |),
+       |scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1 ELSE 0 END
+       |     + CASE WHEN n_stop * 100 >= n_tokens AND n_stop * 10 <= n_tokens * 6 THEN 1 ELSE 0 END
+       |     + CASE WHEN (CASE $langCases ELSE 'und' END) = 'en' THEN 1 ELSE 0 END) AS quality_score
+       |  FROM s
+       |)
+       |SELECT doc_id, CAST(quality_score AS INTEGER) AS quality_score, n_tokens
+       |FROM scored WHERE quality_score >= 2""".stripMargin
+  }
+
   /** Opaque-binary metadata over utf-8 blobs (mirrors q_binary_meta). */
   val qBinaryMeta: String =
     """SELECT doc_id,

@@ -258,6 +258,9 @@ object SparkEntry {
         shingleK = 3, numHashes = 12, bands = 4)
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 1)
     }),
+    "q_doc_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFiltered(Pipelines.table(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"))),
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
@@ -331,6 +334,7 @@ object SparkEntry {
     "q_jaccard_verify" -> OracleSql.qJaccardVerify,
     "q_binary_meta" -> OracleSql.qBinaryMeta,
     "q_token_stats" -> OracleSql.qTokenStats,
+    "q_doc_quality" -> OracleSql.qDocQuality,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
     "q_ann_lsh" -> OracleSql.qAnnLsh,
     "q_embed_similar" -> OracleSql.qEmbedSimilar

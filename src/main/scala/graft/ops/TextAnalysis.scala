@@ -63,6 +63,25 @@ object TextAnalysis {
     scored.withColumn(out, best).drop(LangMarkers.map(l => s"__s_${l._1}"): _*)
   }
 
+  /** Composite document-quality gate (the C4/Gopher-style rule stack, kept
+    * integer-exact): one point each for sane token count, sane stopword
+    * ratio, and confident language id; keep docs scoring >= minScore.
+    * All comparisons are on exact ints (the ratio check is cross-multiplied
+    * to integers) so the filter is bit-stable across engines. */
+  def qualityFiltered(df: DataFrame, textCol: String = "text", minScore: Int = 2): DataFrame = {
+    val nTok = TextExprs.token_count(col(textCol))
+    val nStop = TextExprs.token_set_count(col(textCol), Stopwords)
+    val lang = TextExprs.lang_id(col(textCol), LangMarkers)
+    // 0.01 <= nStop/nTok <= 0.6  ⇔  nStop*100 >= nTok && nStop*10 <= nTok*6
+    val score =
+      when(nTok.between(5, 5000), 1).otherwise(0) +
+      when(nStop * 100 >= nTok && nStop * 10 <= nTok * 6, 1).otherwise(0) +
+      when(lang === "en", 1).otherwise(0)
+    df.withColumn("quality_score", score)
+      .withColumn("n_tokens", nTok)
+      .filter(col("quality_score") >= minScore)
+  }
+
   /** Deterministic document fingerprint: order-sensitive polynomial hash over
     * token hashes (a rolling-hash analog) — cross-engine reproducible (no
     * murmur dependence); the per-token hash is the native codegen'd
