@@ -107,4 +107,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: native text expressions ≡ HOF forms on arbitrary unicode text") {
+    // adversarial strings the curated fixtures can't cover: leading/trailing/
+    // repeated spaces, empty, non-BMP code points, mixed CJK/emoji/ascii
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(6)),
+      3 -> Gen.const(""),
+      2 -> Gen.oneOf("the", "la", "und", "le5"),
+      1 -> Gen.oneOf("😀", "汉字", "a😀b", "ñé"),
+      1 -> Gen.const(" ") // doubles a separator when joined
+    )).map(_.mkString(" "))
+    val texts = cases(genText, n = 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text").repartition(4).cache()
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    import graft.functions.TextExprs
+    assert(m(df.select(col("doc_id"), TextExprs.token_count(col("text")).as("v"))) ==
+      m(df.select(col("doc_id"), size(split(col("text"), " ")).as("v"))), "token_count")
+    assert(m(df.select(col("doc_id"),
+        TextExprs.token_set_count(col("text"), TextAnalysis.Stopwords).as("v"))) ==
+      m(df.select(col("doc_id"), size(filter(split(col("text"), " "),
+        t => t.isin(TextAnalysis.Stopwords.map(lit): _*))).as("v"))), "token_set_count")
+    assert(m(TextAnalysis.withLangId(df).select(col("doc_id"), col("lang_pred"))) ==
+      m(TextAnalysis.withLangIdHof(df).select(col("doc_id"), col("lang_pred"))), "lang_id")
+    assert(m(df.select(col("doc_id"),
+        transform(Dedup.minHashSig(col("text"), 3, 12), _.cast("string")).as("v"))) ==
+      m(df.select(col("doc_id"),
+        transform(Dedup.minHashSigFromHashes(Dedup.shingleHashes(col("text"), 3), 12),
+          _.cast("string")).as("v"))), "minhash")
+    assert(m(df.select(col("doc_id"), Dedup.simHash(col("text")).as("v"))) ==
+      m(df.select(col("doc_id"),
+        Dedup.simHashFromHashes(Dedup.tokenHashes(col("text"))).as("v"))), "simhash")
+    df.unpersist()
+  }
 }
