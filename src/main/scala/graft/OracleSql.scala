@@ -415,7 +415,7 @@ object OracleSql {
   /** Shared CTE chain: k=3 word shingles → portable hashes → 12-permutation
     * MinHash signature list `sig(doc_id, sg)` (mirrors Dedup.minHashSig /
     * the native graft.functions.MinHashSig arithmetic exactly). */
-  private val minHashSigCte: String = {
+  private def minHashSigCteFrom(src: String): String = {
     val p = 2147483647L
     val mins = (0 until 12).map { j =>
       val a = (1223543677L + 2654435761L * j) % p
@@ -423,7 +423,7 @@ object OracleSql {
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
     }.mkString("[", ",\n    ", "]")
     s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
        |),
        |sh AS (
        |  SELECT doc_id,
@@ -443,16 +443,25 @@ object OracleSql {
   /** MinHash signature (k=3 shingles, 12 hashes) rendered as a joined string
     * (string form keeps the compare portable). */
   val qMinHashSig: String =
-    s"""WITH $minHashSigCte
+    s"""WITH ${minHashSigCteFrom("documents")}
        |SELECT doc_id,
        |  array_to_string(list_transform(sg, x -> CAST(x AS VARCHAR)), '_') AS sig
        |FROM sig""".stripMargin
 
-  /** LSH candidate-pair CTE: band the 12-hash signature into 4 bands of 3,
-    * bucket-join within (band, bucket), id_a < id_b, distinct (mirrors
-    * Dedup.minHashLshPairs). Produces `pairs(id_a, id_b)`. */
+  /** LSH candidate-pair CTE (mirrors Dedup.minHashLshPairs, incl. its two
+    * scale bounds): exact-dup groups collapse to a min-id representative and
+    * re-attach as linear star edges; the 12-hash signature of each
+    * representative is banded into 4 bands of 3 and bucket-joined, skipping
+    * buckets over Dedup.DefaultMaxBucket members. Produces
+    * `pairs(id_a, id_b)`. */
   private val lshPairsCte: String =
-    s"""$minHashSigCte,
+    s"""wr AS (
+       |  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS rep
+       |  FROM documents
+       |),
+       |exact_edges AS (SELECT rep AS id_a, doc_id AS id_b FROM wr WHERE doc_id <> rep),
+       |reps AS (SELECT doc_id, text FROM wr WHERE doc_id = rep),
+       |${minHashSigCteFrom("reps")},
        |banded AS (
        |  SELECT doc_id, b.band,
        |    array_to_string(list_transform(
@@ -460,10 +469,19 @@ object OracleSql {
        |      x -> CAST(x AS VARCHAR)), '_') AS bucket
        |  FROM sig, (SELECT CAST(i AS INTEGER) AS band FROM range(4) t(i)) b
        |),
+       |counted AS (
+       |  SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+       |  FROM banded
+       |),
        |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM banded l JOIN banded r
-       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT l.doc_id AS id_a, r.doc_id AS id_b
+       |    FROM counted l JOIN counted r
+       |      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |    WHERE l.bn <= ${graft.ops.Dedup.DefaultMaxBucket}
+       |    UNION ALL
+       |    SELECT id_a, id_b FROM exact_edges
+       |  ) u
        |)""".stripMargin
 
   val qLshPairs: String = s"WITH $lshPairsCte\nSELECT id_a, id_b FROM pairs"

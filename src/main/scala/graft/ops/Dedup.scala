@@ -64,25 +64,69 @@ object Dedup {
   def minHashSig(text: Column, k: Int, numHashes: Int): Column =
     graft.functions.TextExprs.minhash_sig(text, k, numHashes)
 
-  /** MinHash+LSH near-dup candidate pairs: band the signature, bucket-join,
-    * emit (id_a < id_b) pairs with their band. `bands * rowsPerBand` must
-    * equal the signature length. */
+  /** Default hot-bucket cap for [[minHashLshPairs]] — shared with the DuckDB
+    * oracle SQL so both engines skip exactly the same buckets. */
+  val DefaultMaxBucket: Int = 100000
+
+  /** MinHash+LSH near-dup candidate pairs: exact-dedup pre-pass, then band
+    * the signature, bucket-join, emit (id_a < id_b) pairs.
+    * `bands * rowsPerBand` must equal the signature length.
+    *
+    * Scale shape (the round-2 hot-bucket fix): a banded self-join emits B²
+    * candidate rows for a bucket of B members, and dup-heavy corpora — the
+    * actual target of dedup — concentrate thousands of identical docs in the
+    * same buckets. Two standard production bounds:
+    *
+    *   1. EXACT pre-pass: identical texts collapse to one representative
+    *      (min id) BEFORE hashing; each exact-dup group re-attaches as
+    *      linear "star" edges (rep, member) instead of the B² clique. Near
+    *      dups across groups pair rep-to-rep (transitively equivalent for
+    *      clustering; a group of 100k identical docs now costs 10^5 edges,
+    *      not 10^10).
+    *   2. Hot-bucket cap: buckets with more than `maxBucket` DISTINCT texts
+    *      are skipped deterministically (a keyed per-bucket count — never a
+    *      global window). Truncation is observable via the `lsh_bucket_cap`
+    *      observed metrics (rows_in_skipped_buckets / max_bucket_size) on
+    *      the query execution.
+    *
+    * Both bounds are mirrored bit-for-bit in the DuckDB oracle
+    * (OracleSql.lshPairsCte), so q_lsh_pairs stays under the hash gate. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+                      shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
+    // exact pre-pass: one keyed window shuffle yields both the representative
+    // set (distinct texts) and the linear star edges of each exact-dup group
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
+    val withRep = df.select(col(idCol), col(textCol))
+      .withColumn("__rep", min(col(idCol)).over(wt))
+    val exactEdges = withRep.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val reps = withRep.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
     // native one-pass signature; banding over the 12-element array is cheap
-    val sig = df.select(col(idCol), minHashSig(col(textCol), shingleK, numHashes).as("__sig"))
+    val sig = reps.select(col(idCol), minHashSig(col(textCol), shingleK, numHashes).as("__sig"))
     val banded = sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
         array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
           x => x.cast("string")), "_")): _*)))
       .toDF(idCol, "band", "bucket")
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    // per-bucket member count via a KEYED window; hot buckets skipped
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded.withColumn("__bn", count(lit(1)).over(wb))
+      .observe("lsh_bucket_cap",
+        sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)).as("rows_in_skipped_buckets"),
+        max(col("__bn")).as("max_bucket_size"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col(idCol), col("band"), col("bucket"))
+    val l = capped.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = capped.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      .union(exactEdges)
+      .distinct()
   }
 
   /** 32-bit SimHash from a stored token-hash array (bit votes ±1).

@@ -113,8 +113,10 @@ object Metrics {
   /** Cumulative score table for PR metrics: per distinct score s (predicting
     * positive when score >= s), exact tp and predicted-positive counts, plus
     * the per-score positives `__p` and the global positive total. */
-  private def prCumulative(df: DataFrame, label: String, score: String): DataFrame = {
-    val g = scoreHistogram(df, label, score)
+  private def prCumulative(df: DataFrame, label: String, score: String): DataFrame =
+    prCumulativeHist(scoreHistogram(df, label, score))
+
+  private def prCumulativeHist(g: DataFrame): DataFrame = {
     val cum = PrefixSum.runningSums(g, Seq(col("__s").desc), Seq("__n", "__p"))
     // total positives = last (max) cumulative — read from the persisted
     // prefix output instead of recomputing g's whole upstream a third time
@@ -144,11 +146,29 @@ object Metrics {
     * order — collect_list → sort_array → aggregate here, list(... ORDER BY
     * score) → list_reduce there — giving a bit-reproducible scalar. The
     * heavy work (histogram, prefix sums) is all distributed; only the final
-    * |distinct|-element fold is single-node, and it arrives pre-aggregated. */
-  def averagePrecision(df: DataFrame, label: String, score: String): DataFrame = {
+    * |distinct|-element fold is single-node, and it arrives pre-aggregated.
+    *
+    * Continuous-score guard (round-2 fix): for continuous double scores
+    * |distinct| ≈ |rows|, which would funnel every row into that one fold
+    * buffer. The operator counts the distinct scores first (one cheap
+    * map-side-combined job — this method is therefore EAGER like the
+    * PrefixSum it wraps) and, above `maxDistinctScores`, re-aggregates the
+    * histogram onto a `floor(score·quantizeBins)/quantizeBins` grid before
+    * the prefix/fold stages — bounding the fold at `quantizeBins`+1 terms.
+    * Quantized AP is an approximation (standard for streaming/at-scale PR
+    * metrics); the default threshold (2^20 distinct) keeps every
+    * exact-oracle use on the exact path. */
+  def averagePrecision(df: DataFrame, label: String, score: String,
+                       maxDistinctScores: Long = 1L << 20,
+                       quantizeBins: Int = 100000): DataFrame = {
+    val g0 = scoreHistogram(df, label, score)
+    val nd = g0.count() // guard job: |distinct scores| (map-side combined)
+    val g = if (nd <= maxDistinctScores) g0
+      else g0.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
+        .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
     val term = (col("__p").cast("double") / col("__tp_total").cast("double")) *
       (col("__p_cum").cast("double") / col("__n_cum").cast("double"))
-    prCumulative(df, label, score)
+    prCumulativeHist(g)
       .filter(col("__tp_total") > 0)
       .select(col("__s"), term.as("__term"))
       .agg(aggregate(

@@ -33,6 +33,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * No persist: both passes pull the same QueryExecution RDD, so pass 2
   * reuses pass 1's shuffle files (only the cheap within-partition sort
   * re-runs) — the operator holds no cache entries after it returns.
+  *
+  * NOTE: construction is EAGER — pass 1 runs a Spark job when this method is
+  * called (not when the returned DataFrame is first acted on). Callers that
+  * build plans speculatively should defer the call accordingly.
   */
 object PrefixSum {
 
@@ -76,16 +80,17 @@ object PrefixSum {
         while (i < n) { carry(i) += t(i); i += 1 }
       }
     }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-
-    // pass 2: sequential per-partition sums seeded with the offsets
+    // pass 2: sequential per-partition sums seeded with the offsets.
+    // The offsets array is P×n longs (P = shuffle partitions) — small by
+    // construction, so it ships inside each task closure; broadcasting it
+    // would leave an undestroyable broadcast behind in long-lived sessions.
     val outSchema = StructType(df.schema.fields ++
       sumCols.map(c => StructField(s"${c}_cum", LongType, nullable = false)))
     val rdd = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outSchema)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val cums = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(n)
-      val run = bcOffsets.value(pid).clone()
+      val run = offsets(pid).clone()
       it.map { row =>
         var i = 0
         while (i < n) {

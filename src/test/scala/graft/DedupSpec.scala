@@ -34,6 +34,51 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((0L, 5L)))
   }
 
+  test("lsh pairs: dup-heavy corpus emits linear star edges, not a quadratic clique") {
+    // 1,200 byte-identical docs — the corpus shape dedup exists for, and the
+    // one that made the round-2 banded self-join quadratic (C(1200,2) = 719,400
+    // candidate rows). The exact pre-pass collapses them to one representative
+    // and re-attaches the group as 1,199 star edges.
+    val heavy = (0 until 1200).map(i =>
+      (i.toLong, "all these documents say exactly the same thing today")) ++
+      Seq((2000L, "completely unrelated content about catalyst optimizer rules"),
+          (2001L, "all these documents say exactly the same words today")) // near dup of the clique
+    val df = heavy.toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleK = 1, numHashes = 12, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size >= 1199 && pairs.size < 1199 + 10,
+      s"candidate count ${pairs.size} not linear in dup-group size")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 1199L)), "star edges to the rep")
+    // near-dup attaches to the representative only, never the whole clique
+    assert(!pairs.exists { case (a, b) => a >= 1 && a < 1200 && b >= 1 && b < 1200 },
+      "clique edges between non-representative members leaked")
+  }
+
+  test("hot-bucket cap deterministically skips oversized buckets; small buckets unaffected") {
+    // 40 DISTINCT texts that are permutations of one token set: with k=1
+    // shingles they share the entire minhash signature, so all 40 land in the
+    // same bucket of every band — a hot bucket the cap must bound
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(7)
+    val perms = Iterator.continually(rnd.shuffle(toks).mkString(" ")).distinct.take(40).toSeq
+    val base = perms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val ctrl = Seq((100L, "spark shuffle partition tuning works well here"),
+                   (101L, "spark shuffle partition tuning works badly here"))
+    val df = (base ++ ctrl).toDF("doc_id", "text")
+    val capped = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleK = 1, numHashes = 12, bands = 6, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a < 40 && b < 40 },
+      "hot-bucket pairs leaked through the cap")
+    assert(capped.contains((100L, 101L)), "small-bucket near-dup pair must survive the cap")
+    // without the cap the same corpus yields the full quadratic candidate set
+    val uncapped = Dedup.minHashLshPairs(df, "doc_id", "text",
+      shingleK = 1, numHashes = 12, bands = 6)
+      .filter(col("id_a") < 40 && col("id_b") < 40).count()
+    assert(uncapped == 40L * 39 / 2)
+  }
+
   test("jaccard verification: exact dup = 1.0, near dup high, unrelated low") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")

@@ -94,6 +94,38 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(gotAp - expAp) < 1e-12, s"got=$gotAp exp=$expAp")
   }
 
+  test("averagePrecision auto-quantizes continuous scores; bounded fold matches quantized reference") {
+    // continuous scores: every row a distinct score — the case that would
+    // otherwise funnel |rows| structs into one aggregation buffer
+    val rnd = new scala.util.Random(13)
+    val cont = (1 to 5000).map { i =>
+      val s = rnd.nextDouble()
+      (i.toLong, if (rnd.nextDouble() < s) 1 else 0, s)
+    }.toDF("id", "y", "score")
+    def apOf(rs: Array[(Int, Double)]): Double = {
+      val total = rs.count(_._1 == 1).toDouble
+      var ap = 0.0
+      var prevTp = 0L
+      rs.map(_._2).distinct.sorted.reverse.foreach { s =>
+        val tp = rs.count(r => r._1 == 1 && r._2 >= s).toLong
+        val np = rs.count(r => r._2 >= s).toLong
+        ap += ((tp - prevTp) / total) * (tp.toDouble / np)
+        prevTp = tp
+      }
+      ap
+    }
+    val raw = cont.select("y", "score").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val expRaw = apOf(raw)
+    val expQ = apOf(raw.map { case (y, s) => (y, math.floor(s * 64) / 64) })
+    val got = Metrics.averagePrecision(cont, "y", "score",
+      maxDistinctScores = 100, quantizeBins = 64).collect()(0).getDouble(0)
+    assert(math.abs(got - expQ) < 1e-9, s"got=$got expQuantized=$expQ")
+    assert(got != expRaw, "quantization did not kick in")
+    // under the threshold the exact path is untouched
+    val gotRaw = Metrics.averagePrecision(cont, "y", "score").collect()(0).getDouble(0)
+    assert(math.abs(gotRaw - expRaw) < 1e-9, s"got=$gotRaw exp=$expRaw")
+  }
+
   test("approx-quantile scale path stays within tolerance of the exact path") {
     val dir = "/root/testdata/sf0.001"
     val cols = Pipelines.quartet.map(q => s"${q}_count")

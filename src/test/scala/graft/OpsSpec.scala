@@ -108,6 +108,26 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("labelEncode: prefix-rank codes equal alphabetical rank; cardinality guard fails fast") {
+    val df = Seq("view", "click", "purchase", "view", "signup", "click")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "event_type")
+    val got = CategoricalOps.labelEncode(df, "event_type")
+      .select("event_type", "event_type_code").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("click" -> 0, "purchase" -> 1, "signup" -> 2, "view" -> 3))
+    // no global (unpartitioned) window anywhere in the plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globals = CategoricalOps.labelEncode(df, "event_type")
+      .queryExecution.sparkPlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, s"global window in labelEncode plan: $globals")
+    // high-cardinality misuse (user-id-like column) fails at call time
+    val wide = (0 until 100).map(i => (i.toLong, s"u$i")).toDF("id", "uid")
+    val e = intercept[IllegalArgumentException] {
+      CategoricalOps.labelEncode(wide, "uid", maxCardinality = 10)
+    }
+    assert(e.getMessage.contains("maxCardinality"))
+  }
+
   test("lag/lead: dt_prev equals gap, prev/next roles consistent") {
     val ll = LagLead.withLagLead(turns.toDF(), cols, textCol = Some("text"))
       .select("conv_id", "turn_idx", "prev_role", "next_role", "dt_prev_us", "turn_rank")
