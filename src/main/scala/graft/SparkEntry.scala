@@ -279,6 +279,17 @@ object SparkEntry {
       Similarity.lshTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         queryDf = emb.filter(col("vec_id") === 0), k = 10, bits = 4, seed = 42L)
+    }),
+
+    // — model-artifact export (rows-only check: LR solver coefficients are
+    //   engine-specific, so no cross-engine value oracle is possible) —
+    "q_feature_importance" -> ((s, dir) => {
+      import s.implicits._
+      val entity = Pipelines.entity(s, dir)
+      val feats = Pipelines.quartet.map(q => s"${q}_count") ++
+        Pipelines.quartet.map(q => s"${q}_avg")
+      val (_, coefs) = graft.ml.Models.logistic(entity, feats, "purchase_yn", maxIter = 25)
+      graft.ml.Models.featureImportance(coefs, topK = 5).toDF("feature", "coef", "rank")
     })
   )
 

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two float-array embeddings as a native codegen'd
   * expression — replaces the higher-order-function composition
@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Same expression tree ⇒ bit-identical doubles ⇒ the oracle hash compare
   * still holds. Returns null if either array is null (nullIntolerant).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // eval reads elements with ArrayData.getFloat, so anything but array<float>
+  // (e.g. an array<double> embedding column) must fail at ANALYSIS time —
+  // without this it would silently return garbage similarities
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def nullIntolerant: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -179,6 +179,26 @@ object TextExprs {
     out
   }
 
+  /** Order-sensitive document fingerprint: fold over ' '-tokens (keeping
+    * empties), acc = (acc·131 + tokHash(token)) mod 1000003, acc0 = 0 —
+    * the rolling-hash analog, identical arithmetic to the HOF form
+    * (TextAnalysis.fingerprintHof) and the DuckDB oracle. */
+  def docFingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var acc = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == SP) {
+        acc = (acc * 131L + TokHash.hashRange(str, start, i)) % 1000003L
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
+
   /** Join an array<long> as a separator-delimited string, skipping null
     * elements (array_join semantics) — keeps signature rendering inside
     * codegen where `array_join(transform(...))` would fall back. */
@@ -207,13 +227,16 @@ object TextExprs {
   def minhash_sig(c: Column, k: Int, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k, numHashes))
   def simhash32(c: Column): Column = Bridge.column(SimHash32(Bridge.expression(c)))
+  def doc_fingerprint(c: Column): Column = Bridge.column(DocFingerprint(Bridge.expression(c)))
   def long_array_join(c: Column, sep: String): Column =
     Bridge.column(LongArrayJoin(Bridge.expression(c), sep))
 }
 
 /** array_join(transform(longs, cast string), sep) as one native pass. */
-case class LongArrayJoin(child: Expression, sep: String) extends UnaryExpression {
+case class LongArrayJoin(child: Expression, sep: String)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = StringType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType))
   override def nullIntolerant: Boolean = true
   @transient private lazy val sepU = UTF8String.fromString(sep)
   protected override def nullSafeEval(input: Any): Any =
@@ -227,8 +250,9 @@ case class LongArrayJoin(child: Expression, sep: String) extends UnaryExpression
 }
 
 /** size(split(text, ' ')) without materializing the token array. */
-case class TokenCount(child: Expression) extends UnaryExpression {
+case class TokenCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any =
     TextExprs.tokenCount(input.asInstanceOf[UTF8String])
@@ -238,8 +262,10 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 }
 
 /** size(filter(split(text,' '), t -> t IN words)) as one native pass. */
-case class TokenSetCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   @transient private lazy val set: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -258,9 +284,11 @@ case class TokenSetCount(child: Expression, words: Seq[String]) extends UnaryExp
 
 /** Stopword-profile language ID: one tokenization pass scores every language
   * at once (the HOF form re-tokenized per language — 5 interpreted passes). */
-case class LangId(child: Expression, markers: Seq[(String, Seq[String])]) extends UnaryExpression {
+case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with ExpectsInputTypes {
   require(markers.size < 32, "bitmask language index")
   override def dataType: DataType = StringType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   @transient private lazy val masks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
@@ -287,8 +315,10 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])]) extend
 }
 
 /** MinHash signature (array<long>, null element iff no non-empty shingle). */
-case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   // seeded affine permutations — SAME constants as the DuckDB oracle
   // (OracleSql.qMinHashSig) and the retired HOF form (Dedup.minHashSigFromHashes)
@@ -308,10 +338,25 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int) extends 
     copy(child = newChild)
 }
 
+/** Rolling document fingerprint (one pass; the HOF `aggregate` fold it
+  * replaces was the last CodegenFallback on a raw document scan). */
+case class DocFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprs.docFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.docFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(newChild)
+}
+
 /** 32-bit SimHash over token hashes (one pass; the HOF form ran 32
   * interpreted aggregate votes per row). */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any =
     TextExprs.simHash32(input.asInstanceOf[UTF8String])

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Portable polynomial string hash as a native Catalyst expression.
@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * minhash/simhash/fingerprint scans inside whole-stage codegen — the
   * difference is ~2 orders of magnitude on document-scale text.
   */
-case class TokHash(child: Expression) extends UnaryExpression {
+case class TokHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
 
   protected override def nullSafeEval(input: Any): Any =

@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.CategoricalOps
+import graft.ops.{CategoricalOps, Metrics}
 
 /** Evaluation-framework analogs (SURVEY §2.9) on spark.ml — the reference's
   * sklearn pipeline re-expressed as distributed dataflow. Documented
@@ -51,30 +51,45 @@ object Models {
     if (counts.size < 2) return df
     val (minLabel, minN) = counts.minBy(_._2)
     val maxN = counts.values.max
-    val need = (maxN - minN).toInt
+    val need = maxN - minN
     if (need <= 0) return df
     // 16 LSH buckets when the minority is big enough that per-bucket pair
     // loss (one unpaired row per bucket) stays negligible
     val bits = if (minN < 64) 0 else 4
     val bucket =
-      if (bits == 0) lit(0)
+      if (bits == 0) lit(0L)
       else graft.ops.Similarity.lshBucket(
         array(features.map(c => col(c).cast("double")): _*), bits, seed = 42L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bkt"))
       .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
     val minority = df.filter(col(labelCol) === minLabel)
-      .withColumn("__bkt", bucket)
+      .withColumn("__bkt", bucket.cast("long"))
       .withColumn("__rn", row_number().over(w))
     val next = features.map(c => lead(col(c), 1).over(w).as(s"__n_$c")) :+
       lead(col(idCol), 1).over(w).as("__n_id")
     val paired = minority.select((minority.columns.map(col) ++ next).toIndexedSeq: _*)
       .filter(col("__n_id").isNotNull)
-    val pairsLow = math.max(1, minN.toInt - 1 - (1 << bits)) // ≥ minN - 1 - #buckets
-    val reps = (need + pairsLow - 1) / pairsLow
+    // Deterministic-by-construction selection (the round-2 `.limit(need)` let
+    // partition visit order pick the survivors): a global pair rank from the
+    // tiny per-bucket counts (≤ 2^bits + 1 rows to the driver), a round-robin
+    // synthetic index over replicas, keep index < need — the kept rows are a
+    // pure function of the input at any parallelism, and exactly `need` rows
+    // survive (indices are distinct and cover [0, reps·pairs)).
+    val perBucket = paired.groupBy(col("__bkt")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val totalPairs = perBucket.map(_._2).sum
+    if (totalPairs == 0) return df // minority of one row: nothing to interpolate
+    val offsets = perBucket.map(_._1).zip(perBucket.map(_._2).scanLeft(0L)(_ + _))
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (b, o)) =>
+      when(col("__bkt") === b, lit(o)).otherwise(acc)
+    }
+    val reps = ((need + totalPairs - 1) / totalPairs).toInt
+    val rank = offCol + col("__rn").cast("long") - lit(1L)
     val synth = paired
-      .withColumn("__rep", explode(sequence(lit(1), lit(math.max(1, reps)))))
-      .limit(need)
+      .withColumn("__rep", explode(sequence(lit(1), lit(reps))))
+      .withColumn("__idx", (col("__rep") - 1).cast("long") * lit(totalPairs) + rank)
+      .filter(col("__idx") < need)
       .select(df.columns.map { c =>
         if (features.contains(c))
           ((col(c) + col(s"__n_$c")) / 2.0).as(c) // midpoint interpolation
@@ -137,6 +152,84 @@ object Models {
       (f, acc)
     }
   }
+
+  /** Per-fold train-side preparation of the flagship evaluation run: scale
+    * on TRAIN-fold statistics only, then oversample the train folds only —
+    * the reference's in-fold SMOTE leakage control (`LR_Advanced.py:621-627`:
+    * scaler fit on X_train, SMOTE applied after the split). Exposed as its
+    * own method so the leakage property is directly testable: mutating
+    * test-fold rows must never change this output. */
+  def inFoldTrain(folded: DataFrame, fold: Int, features: Seq[String],
+                  labelCol: String, idCol: String): DataFrame = {
+    val train = folded.filter(col("fold") =!= fold)
+    oversampleInterpolate(standardScale(train, train, features), idCol, labelCol, features)
+  }
+
+  final case class FoldMetrics(fold: Int, accuracy: Double, precision: Double,
+                               recall: Double, f1: Double, aucRoc: Double, aucPr: Double)
+
+  /** The composed flagship evaluation run (`LR_Model_train/LR_Advanced.py:
+    * 603-687`): per stratified fold — standard-scale on train-fold stats,
+    * oversample the train folds only, optional RFE down to `rfeTarget`
+    * features, fit LR, score the held-out fold, and compute ALL FIVE
+    * reference metrics (accuracy/precision/recall/F1 at `threshold`, ROC
+    * AUC, PR AUC) with the distributed Metrics operators. Per-fold rows
+    * return; mean±std via [[evaluationSummary]]/[[evaluationJson]]. */
+  def evaluationRun(df: DataFrame, features: Seq[String], labelCol: String, idCol: String,
+                    k: Int = 5, rfeTarget: Int = 0, threshold: Double = 0.5): Seq[FoldMetrics] = {
+    val folded = CategoricalOps.stratifiedFolds(df, idCol, labelCol, k).cache()
+    val out = (0 until k).map { f =>
+      val train = inFoldTrain(folded, f, features, labelCol, idCol)
+      val test = standardScale(
+        folded.filter(col("fold") =!= f), folded.filter(col("fold") === f), features)
+      val kept =
+        if (rfeTarget > 0 && rfeTarget < features.size) rfe(train, features, labelCol, rfeTarget)
+        else features
+      val (model, _) = logistic(train, kept, labelCol)
+      val scoredTest = model.transform(assemble(test, kept, labelCol))
+        .select(col(labelCol),
+          org.apache.spark.ml.functions.vector_to_array(col("probability"))(1).as("__score"))
+      val bm = Metrics.binaryMetrics(scoredTest, labelCol, "__score", threshold).collect()(0)
+      val auc = Metrics.aucRoc(scoredTest, labelCol, "__score").collect()(0).getDouble(0)
+      val ap = Metrics.averagePrecision(scoredTest, labelCol, "__score")
+        .collect()(0).getDouble(0)
+      FoldMetrics(f, bm.getAs[Double]("accuracy"), bm.getAs[Double]("precision"),
+        bm.getAs[Double]("recall"), bm.getAs[Double]("f1"), auc, ap)
+    }
+    folded.unpersist()
+    out
+  }
+
+  /** Mean ± std (population σ, matching numpy's default in the reference's
+    * printed `np.mean`/`np.std` per-fold summary) per metric. */
+  def evaluationSummary(ms: Seq[FoldMetrics]): Map[String, (Double, Double)] = {
+    def agg(vs: Seq[Double]): (Double, Double) = {
+      val m = vs.sum / vs.size
+      (m, math.sqrt(vs.map(v => (v - m) * (v - m)).sum / vs.size))
+    }
+    Map("accuracy" -> agg(ms.map(_.accuracy)), "precision" -> agg(ms.map(_.precision)),
+      "recall" -> agg(ms.map(_.recall)), "f1" -> agg(ms.map(_.f1)),
+      "aucRoc" -> agg(ms.map(_.aucRoc)), "aucPr" -> agg(ms.map(_.aucPr)))
+  }
+
+  /** The run's artifact form: per-fold metric rows + mean±std summary. */
+  def evaluationJson(ms: Seq[FoldMetrics]): String = {
+    val folds = ms.map(m =>
+      s"""{"fold":${m.fold},"accuracy":${m.accuracy},"precision":${m.precision},""" +
+        s""""recall":${m.recall},"f1":${m.f1},"aucRoc":${m.aucRoc},"aucPr":${m.aucPr}}""")
+      .mkString("[", ",", "]")
+    val sums = evaluationSummary(ms).toSeq.sortBy(_._1)
+      .map { case (k, (m, s)) => s""""$k":{"mean":$m,"std":$s}""" }.mkString("{", ",", "}")
+    s"""{"folds":$folds,"summary":$sums}"""
+  }
+
+  /** Top-k feature-importance artifact (`LR_Advanced.py:566-601`: top-20 by
+    * |coefficient|): rank [[logistic]]'s coefficient map descending by
+    * absolute weight, deterministic tie-break by feature name. Returns
+    * (feature, coefficient, 1-based rank). */
+  def featureImportance(coefs: Map[String, Double], topK: Int = 20): Seq[(String, Double, Int)] =
+    coefs.toSeq.sortBy { case (n, c) => (-math.abs(c), n) }.take(topK)
+      .zipWithIndex.map { case ((n, c), i) => (n, c, i + 1) }
 
   /** PCA to `k` components (`SMOTE_test/smote_visualization.py:69-103` uses
     * 2 components for visualization; here a general projection). */

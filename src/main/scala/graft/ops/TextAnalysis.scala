@@ -84,9 +84,11 @@ object TextAnalysis {
 
   /** Deterministic document fingerprint: order-sensitive polynomial hash over
     * token hashes (a rolling-hash analog) — cross-engine reproducible (no
-    * murmur dependence); the per-token hash is the native codegen'd
-    * graft.functions.TokHash. */
-  def fingerprint(text: Column): Column =
+    * murmur dependence). Native one-pass codegen'd expression. */
+  def fingerprint(text: Column): Column = TextExprs.doc_fingerprint(text)
+
+  /** HOF reference form of [[fingerprint]] — spec cross-check only. */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(131L) + graft.functions.TokHash.tok_hash(t), lit(1000003L)))
 

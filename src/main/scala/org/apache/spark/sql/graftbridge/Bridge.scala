@@ -13,6 +13,11 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is private[sql]; expressions outside the sql package
+    * need it to declare `ExpectsInputTypes.inputTypes` (analysis-time type
+    * checking for the native expression family). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Wrap a LogicalPlan as a DataFrame (classic Dataset.ofRows is
     * private[sql]) — used to surface custom logical nodes (graft.plans). */
   def ofRows(

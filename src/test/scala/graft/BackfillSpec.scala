@@ -76,6 +76,55 @@ class BackfillSpec extends SparkSpec {
     assert(rows(outA) == direct)
   }
 
+  test("concurrent bucket pool: identical output, shared crash counter, wall-clock win") {
+    val root = tmp()
+    val turns = TranscriptGen.turns(spark, 51L, 48).toDF()
+    val snap = IcebergLite.append(spark, root, turns, "conv_id", buckets = 16)
+    val outSeq = tmp()
+    val outPar = tmp()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tSeq = timed(Backfill.run(spark, root, snap, outSeq, compute))
+    val tPar = timed(Backfill.run(spark, root, snap, outPar, compute, maxConcurrent = 4))
+    info(f"16 buckets: sequential $tSeq%.1f s vs concurrent(4) $tPar%.1f s")
+    def rows(out: String) = spark.read.parquet((0 until 16).map(b => s"$out/bucket=$b"): _*)
+      .collect().map(_.toSeq).toSet
+    assert(rows(outPar) == rows(outSeq), "concurrent scheduling changed the output")
+    // crash counting is atomic across the pool: exactly `crashAfter` commits land
+    val outC = tmp()
+    intercept[Backfill.InjectedCrash] {
+      Backfill.run(spark, root, snap, outC, compute, crashAfter = 3, maxConcurrent = 4)
+    }
+    assert(Backfill.completed(outC).size >= 3, "crash fired before the commit quota")
+    // resume with the pool completes the remainder without recompute
+    val cks = Backfill.run(spark, root, snap, outC, compute, maxConcurrent = 4)
+    assert(cks.size == 16 && rows(outC) == rows(outSeq))
+  }
+
+  test("readCommitted exposes exactly the committed buckets; partials stay invisible") {
+    val root = tmp()
+    val turns = TranscriptGen.turns(spark, 61L, 24).toDF()
+    val snap = IcebergLite.append(spark, root, turns, "conv_id", buckets = 6)
+    val out = tmp()
+    intercept[Backfill.InjectedCrash] {
+      Backfill.run(spark, root, snap, out, compute, crashAfter = 2)
+    }
+    val committed = Backfill.completed(out)
+    assert(committed.size == 2)
+    // a half-written final dir can't exist under the rename protocol; fake the
+    // next-worst thing — a stray uncommitted final dir — and prove the reader
+    // ignores it
+    val stray = java.nio.file.Paths.get(out, "bucket=5")
+    java.nio.file.Files.createDirectories(stray)
+    val got = Backfill.readCommitted(spark, out, snap).count()
+    assert(got == committed.values.map(_.outputRows).sum)
+    // full resume then readCommitted equals the direct computation
+    Backfill.run(spark, root, snap, out, compute)
+    val direct = compute(IcebergLite.read(spark, root, snap)).count()
+    assert(Backfill.readCommitted(spark, out, snap).count() == direct)
+  }
+
   test("backfill: checkpoints from a stale snapshot are not reused") {
     val root = tmp()
     val snap0 = IcebergLite.append(spark, root,

@@ -141,6 +141,10 @@ class DedupSpec extends SparkSpec {
     val natLang = m(TextAnalysis.withLangId(all).select(col("doc_id"), col("lang_pred")))
     val hofLang = m(TextAnalysis.withLangIdHof(all).select(col("doc_id"), col("lang_pred")))
     assert(natLang == hofLang)
+    // fingerprint (rolling hash)
+    val natFp = m(all.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f")))
+    val hofFp = m(all.select(col("doc_id"), TextAnalysis.fingerprintHof(col("text")).as("f")))
+    assert(natFp == hofFp)
     // token counts
     val natTok = m(all.select(col("doc_id"),
       graft.functions.TextExprs.token_count(col("text")).as("n")))
@@ -177,6 +181,21 @@ class DedupSpec extends SparkSpec {
     val hof = emb.select(col("id"), Similarity.cosineHof(col("a"), col("b")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(nat == hof) // exact double equality — same fold order
+  }
+
+  test("native expressions reject wrong input types at analysis time") {
+    // CosineSim reads ArrayData.getFloat — an array<double> embedding column
+    // must be an analysis error, not silently-garbage similarities
+    val dbl = Seq((1L, Array(1.0, 2.0), Array(1.0, 2.0))).toDF("id", "a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(graft.functions.TextExprs.token_count(col("doc_id"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(graft.functions.TokHash.tok_hash(col("doc_id"))).collect()
+    }
   }
 
   test("lsh topk agrees with brute force on the shared candidates") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ml.Models
-import graft.ops.Skew
+import graft.ops.{CategoricalOps, Skew}
 
 class MlSpec extends SparkSpec {
   import spark.implicits._
@@ -40,6 +40,58 @@ class MlSpec extends SparkSpec {
     val minRows = data.filter(col("y") === minLabel).select("x1").collect().map(_.getDouble(0))
     over.filter(col("id") < 0).select("x1").collect().map(_.getDouble(0))
       .foreach(v => assert(v >= minRows.min && v <= minRows.max))
+  }
+
+  test("oversampler: synthetic set is partitioning-invariant and balances exactly") {
+    // the round-2 version selected survivors with an unordered .limit —
+    // which rows survived depended on partition visit order
+    def synths(p: Int) = Models.oversampleInterpolate(
+      data.repartition(p), "id", "y", Seq("x1", "x2", "noise"))
+      .filter(col("id") < 0).collect().map(_.toSeq).toSet
+    assert(synths(2) == synths(32), "synthetic rows depend on partitioning")
+    val c = Models.oversampleInterpolate(data, "id", "y", Seq("x1", "x2", "noise"))
+      .groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c.values.max == c.values.min, s"classes not exactly balanced: $c")
+  }
+
+  test("flagship evaluation run: all five reference metrics per fold + mean±std JSON") {
+    val ms = Models.evaluationRun(data, Seq("x1", "x2", "noise"), "y", "id",
+      k = 3, rfeTarget = 2)
+    assert(ms.size == 3)
+    ms.foreach { m =>
+      Seq(m.accuracy, m.precision, m.recall, m.f1, m.aucRoc, m.aucPr)
+        .foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-12)) // AP is a double fold: a
+      // perfectly separated fold can sum to 1 + 1ulp
+      assert(m.accuracy > 0.85 && m.aucRoc > 0.9, s"separable data should score high: $m")
+    }
+    val json = Models.evaluationJson(ms)
+    Seq("accuracy", "precision", "recall", "f1", "aucRoc", "aucPr", "mean", "std", "folds")
+      .foreach(k => assert(json.contains(s""""$k""""), s"metric $k missing from $json"))
+    val sums = Models.evaluationSummary(ms)
+    assert(sums.keySet ==
+      Set("accuracy", "precision", "recall", "f1", "aucRoc", "aucPr"))
+    sums.values.foreach { case (m, s) => assert(m >= 0 && m <= 1 + 1e-12 && s >= 0) }
+  }
+
+  test("in-fold-only oversampling: mutating test-fold rows never changes train synthetics") {
+    val folded = CategoricalOps.stratifiedFolds(data, "id", "y", 3).cache()
+    val feats = Seq("x1", "x2", "noise")
+    val base = Models.inFoldTrain(folded, 0, feats, "y", "id")
+    // corrupt every fold-0 (test) row — train-side prep must not notice
+    val mutated = folded.withColumn("x1",
+      when(col("fold") === 0, col("x1") * 100 + 7).otherwise(col("x1")))
+    val again = Models.inFoldTrain(mutated, 0, feats, "y", "id")
+    assert(base.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet,
+      "test-fold mutation leaked into train-fold scaling/synthetics")
+    folded.unpersist()
+  }
+
+  test("feature importance ranks by |coef| with deterministic name tie-break") {
+    val fi = Models.featureImportance(
+      Map("a" -> 0.5, "b" -> -0.9, "d" -> -0.1, "c" -> 0.1), topK = 3)
+    assert(fi.map(_._1) == Seq("b", "a", "c"))
+    assert(fi.map(_._3) == Seq(1, 2, 3))
+    assert(fi.head._2 == -0.9) // signed coefficient preserved in the artifact
   }
 
   test("logistic regression learns the separable rule; RFE drops the noise feature") {
