@@ -285,11 +285,14 @@ object SparkEntry {
     //   engine-specific, so no cross-engine value oracle is possible) —
     "q_feature_importance" -> ((s, dir) => {
       import s.implicits._
-      val entity = Pipelines.entity(s, dir)
-      val feats = Pipelines.quartet.map(q => s"${q}_count") ++
-        Pipelines.quartet.map(q => s"${q}_avg")
-      val (_, coefs) = graft.ml.Models.logistic(entity, feats, "purchase_yn", maxIter = 25)
-      graft.ml.Models.featureImportance(coefs, topK = 5).toDF("feature", "coef", "rank")
+      // slot grain: purchase_yn keeps both classes at every SF (entity-grain
+      // saturates to all-1 once every user has bought something)
+      val slots = Pipelines.slots(s, dir)
+      val feats = Seq("view_count", "click_count", "signup_count")
+      // artifact query: the RANKING is the deliverable — 10 LBFGS iterations
+      // are plenty to order 3 coefficients, and keep the bench honest
+      val (_, coefs) = graft.ml.Models.logistic(slots, feats, "purchase_yn", maxIter = 10)
+      graft.ml.Models.featureImportance(coefs, topK = 3).toDF("feature", "coef", "rank")
     })
   )
 

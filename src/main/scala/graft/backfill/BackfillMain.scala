@@ -9,7 +9,7 @@ import graft.tables.IcebergLite
 
 /** End-to-end resumable backfill CLI:
   *
-  *   runMain graft.backfill.BackfillMain <workDir> [convs=20000] [buckets=16] [crashAfter=-1]
+  *   runMain graft.backfill.BackfillMain <workDir> [convs=20000] [buckets=16] [crashAfter=-1] [pool=4]
   *
   * 1. synthesizes a transcript table (skewed: 2 mega-conversations) and
   *    commits it as an IcebergLite snapshot (skipped if already present —
@@ -28,6 +28,7 @@ object BackfillMain {
     val convs = args.lift(1).map(_.toInt).getOrElse(20000)
     val buckets = args.lift(2).map(_.toInt).getOrElse(16)
     val crashAfter = args.lift(3).map(_.toInt).getOrElse(-1)
+    val pool = args.lift(4).map(_.toInt).getOrElse(4)
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
 
     val tableRoot = s"$work/table"
@@ -42,7 +43,7 @@ object BackfillMain {
       df => PitPipeline.anchorFeatures(
         df.select(col("conv_id"), col("turn_idx"), col("role"), col("ts")),
         TranscriptCols.turns, Turn.roles, binding, 3600L),
-      crashAfter = crashAfter)
+      crashAfter = crashAfter, maxConcurrent = pool)
     val json = Backfill.metricsJson(cks)
     Files.writeString(Paths.get(s"$work/metrics.json"), json)
     println(json)

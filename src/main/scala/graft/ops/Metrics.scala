@@ -117,11 +117,11 @@ object Metrics {
     prCumulativeHist(scoreHistogram(df, label, score))
 
   private def prCumulativeHist(g: DataFrame): DataFrame = {
-    val cum = PrefixSum.runningSums(g, Seq(col("__s").desc), Seq("__n", "__p"))
-    // total positives = last (max) cumulative — read from the persisted
-    // prefix output instead of recomputing g's whole upstream a third time
-    val totals = cum.agg(max(col("__p_cum")).as("__tp_total"))
-    cum.crossJoin(broadcast(totals))
+    // total positives come free from the prefix pass-1 carry — no extra
+    // agg job or broadcast join over the cumulative table
+    val (cum, totals) =
+      PrefixSum.runningSumsWithTotals(g, Seq(col("__s").desc), Seq("__n", "__p"))
+    cum.withColumn("__tp_total", lit(totals("__p")))
   }
 
   /** OOF precision-recall curve (`OOF_AUC_test.py:336-340`): one row per
@@ -150,26 +150,32 @@ object Metrics {
     *
     * Continuous-score guard (round-2 fix): for continuous double scores
     * |distinct| ≈ |rows|, which would funnel every row into that one fold
-    * buffer. The operator counts the distinct scores first (one cheap
-    * map-side-combined job — this method is therefore EAGER like the
-    * PrefixSum it wraps) and, above `maxDistinctScores`, re-aggregates the
-    * histogram onto a `floor(score·quantizeBins)/quantizeBins` grid before
-    * the prefix/fold stages — bounding the fold at `quantizeBins`+1 terms.
-    * Quantized AP is an approximation (standard for streaming/at-scale PR
-    * metrics); the default threshold (2^20 distinct) keeps every
-    * exact-oracle use on the exact path. */
+    * buffer. The distinct-score count (and the positive total) come FREE
+    * from the prefix pass-1 carry — no extra guard job; above
+    * `maxDistinctScores` the histogram is re-aggregated onto a
+    * `floor(score·quantizeBins)/quantizeBins` grid before the prefix/fold
+    * stages, bounding the fold at `quantizeBins`+1 terms. Quantized AP is
+    * an approximation (standard for at-scale PR metrics); the default
+    * threshold (2^20 distinct) keeps every exact-oracle use on the exact
+    * path. EAGER like the PrefixSum it wraps. */
   def averagePrecision(df: DataFrame, label: String, score: String,
                        maxDistinctScores: Long = 1L << 20,
                        quantizeBins: Int = 100000): DataFrame = {
-    val g0 = scoreHistogram(df, label, score)
-    val nd = g0.count() // guard job: |distinct scores| (map-side combined)
-    val g = if (nd <= maxDistinctScores) g0
-      else g0.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
-        .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
-    val term = (col("__p").cast("double") / col("__tp_total").cast("double")) *
+    val g0 = scoreHistogram(df, label, score).withColumn("__one", lit(1L))
+    val (cum0, tot0) =
+      PrefixSum.runningSumsWithTotals(g0, Seq(col("__s").desc), Seq("__n", "__p", "__one"))
+    val (cum, tpTotal) =
+      if (tot0("__one") <= maxDistinctScores) (cum0, tot0("__p"))
+      else {
+        val gq = g0.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
+          .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
+        val (c, t) = PrefixSum.runningSumsWithTotals(gq, Seq(col("__s").desc), Seq("__n", "__p"))
+        (c, t("__p"))
+      }
+    val term = (col("__p").cast("double") / lit(tpTotal).cast("double")) *
       (col("__p_cum").cast("double") / col("__n_cum").cast("double"))
-    prCumulativeHist(g)
-      .filter(col("__tp_total") > 0)
+    cum
+      .filter(lit(tpTotal) > 0L) // no positives ⇒ empty term list ⇒ 0.0 (oracle-identical)
       .select(col("__s"), term.as("__term"))
       .agg(aggregate(
         sort_array(collect_list(struct(col("__s"), col("__term")))),

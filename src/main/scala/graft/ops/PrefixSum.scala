@@ -41,7 +41,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object PrefixSum {
 
   def runningSums(df: DataFrame, orderCols: Seq[Column], sumCols: Seq[String],
-                  numPartitions: Int = 0): DataFrame = {
+                  numPartitions: Int = 0): DataFrame =
+    runningSumsWithTotals(df, orderCols, sumCols, numPartitions)._1
+
+  /** [[runningSums]] plus the GRAND totals of `sumCols` — free by-products
+    * of pass 1 (the driver's exclusive-prefix carry after the last
+    * partition). Callers that would otherwise run a separate count/agg job
+    * over the input (e.g. |distinct| guards, positive-total denominators)
+    * should read them from here instead. */
+  def runningSumsWithTotals(df: DataFrame, orderCols: Seq[Column], sumCols: Seq[String],
+                            numPartitions: Int = 0): (DataFrame, Map[String, Long]) = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -102,6 +111,7 @@ object PrefixSum {
         proj(joined).copy(): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, outSchema)
+    val out = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, outSchema)
+    (out, sumCols.zipWithIndex.map { case (c, i) => c -> carry(i) }.toMap)
   }
 }
