@@ -61,8 +61,12 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_TPS_ONLY")) {
       val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000").toInt
       val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      val maxReps = math.max(minReps, 8)
-      Bench.pitThroughput(spark, nConvs = 200, parts = cpus.toInt) // warm-up
+      val maxReps = math.max(minReps, 10)
+      // warm-up sized to actually reach C2 JIT of the hot loops (the old
+      // 200-conv warm-up left steady state 4-6 measured reps away at high
+      // core counts); still excluded from the measurement
+      Bench.pitThroughput(spark, nConvs = 20000, parts = cpus.toInt)
+      Bench.pitThroughput(spark, nConvs = 20000, parts = cpus.toInt)
       // adaptive steady state: keep measuring while throughput still improves
       // >10% over the best so far (JIT/codegen/GC warm-up length varies)
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]

@@ -190,11 +190,19 @@ object Models {
         .select(col(labelCol),
           org.apache.spark.ml.functions.vector_to_array(col("probability"))(1).as("__score"))
       val bm = Metrics.binaryMetrics(scoredTest, labelCol, "__score", threshold).collect()(0)
-      val auc = Metrics.aucRoc(scoredTest, labelCol, "__score").collect()(0).getDouble(0)
+      // degenerate folds (single-class test fold, no predicted positives)
+      // yield NULL metrics from the CASE-guarded plans — surface as NaN,
+      // not a crash (mirrors sklearn zero_division semantics)
+      def d(row: org.apache.spark.sql.Row, name: String): Double = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      }
+      val aucRow = Metrics.aucRoc(scoredTest, labelCol, "__score").collect()(0)
+      val auc = if (aucRow.isNullAt(0)) Double.NaN else aucRow.getDouble(0)
       val ap = Metrics.averagePrecision(scoredTest, labelCol, "__score")
         .collect()(0).getDouble(0)
-      FoldMetrics(f, bm.getAs[Double]("accuracy"), bm.getAs[Double]("precision"),
-        bm.getAs[Double]("recall"), bm.getAs[Double]("f1"), auc, ap)
+      FoldMetrics(f, d(bm, "accuracy"), d(bm, "precision"),
+        d(bm, "recall"), d(bm, "f1"), auc, ap)
     }
     folded.unpersist()
     out
@@ -212,14 +220,16 @@ object Models {
       "aucRoc" -> agg(ms.map(_.aucRoc)), "aucPr" -> agg(ms.map(_.aucPr)))
   }
 
-  /** The run's artifact form: per-fold metric rows + mean±std summary. */
+  /** The run's artifact form: per-fold metric rows + mean±std summary.
+    * NaN (degenerate folds) renders as JSON null. */
   def evaluationJson(ms: Seq[FoldMetrics]): String = {
+    def j(v: Double): String = if (v.isNaN || v.isInfinite) "null" else v.toString
     val folds = ms.map(m =>
-      s"""{"fold":${m.fold},"accuracy":${m.accuracy},"precision":${m.precision},""" +
-        s""""recall":${m.recall},"f1":${m.f1},"aucRoc":${m.aucRoc},"aucPr":${m.aucPr}}""")
+      s"""{"fold":${m.fold},"accuracy":${j(m.accuracy)},"precision":${j(m.precision)},""" +
+        s""""recall":${j(m.recall)},"f1":${j(m.f1)},"aucRoc":${j(m.aucRoc)},"aucPr":${j(m.aucPr)}}""")
       .mkString("[", ",", "]")
     val sums = evaluationSummary(ms).toSeq.sortBy(_._1)
-      .map { case (k, (m, s)) => s""""$k":{"mean":$m,"std":$s}""" }.mkString("{", ",", "}")
+      .map { case (k, (m, s)) => s""""$k":{"mean":${j(m)},"std":${j(s)}}""" }.mkString("{", ",", "}")
     s"""{"folds":$folds,"summary":$sums}"""
   }
 

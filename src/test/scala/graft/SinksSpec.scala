@@ -102,6 +102,20 @@ class SinksSpec extends SparkSpec {
     assert(Files.size(java.nio.file.Paths.get(path)) > 500)
   }
 
+  test("EvalMain writes the full artifact set (metrics json + xlsx/csv/svg)") {
+    val out = Files.createTempDirectory("graft-eval").toString
+    EvalMain.run(spark, out, "/root/testdata/sf0.001", k = 2)
+    val metrics = Files.readString(java.nio.file.Paths.get(s"$out/eval_metrics.json"))
+    Seq("folds", "summary", "accuracy", "aucPr").foreach(k => assert(metrics.contains(k)))
+    Seq("feature_importance.xlsx", "feature_importance.svg", "pr_curve.svg")
+      .foreach(f => assert(Files.exists(java.nio.file.Paths.get(s"$out/$f")), f))
+    // both svgs parse as XML
+    Seq("feature_importance.svg", "pr_curve.svg").foreach { f =>
+      DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new java.io.File(s"$out/$f"))
+    }
+  }
+
   test("column letters: A..Z, AA wraparound") {
     assert(Xlsx.colLetters(0) == "A" && Xlsx.colLetters(25) == "Z")
     assert(Xlsx.colLetters(26) == "AA" && Xlsx.colLetters(27) == "AB")
