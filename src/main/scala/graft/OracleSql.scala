@@ -499,6 +499,33 @@ object OracleSql {
        |JOIN g ga ON ga.doc_id = p.id_a
        |JOIN g gb ON gb.doc_id = p.id_b""".stripMargin
 
+  /** Dedup cluster assignment: min id per connected component over the
+    * Jaccard-verified LSH candidate edges — the recursive label closure
+    * computes every (node, reachable-id) pair, so MIN(lab) per node equals
+    * the fixpoint of Dedup.connectedComponents' min-label propagation. */
+  val qDedupClusters: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+       |g AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS gr FROM documents),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p
+       |  JOIN g ga ON ga.doc_id = p.id_a
+       |  JOIN g gb ON gb.doc_id = p.id_b
+       |  WHERE CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ga.gr, gb.gr))) AS DOUBLE) >= 0.6
+       |),
+       |sym AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION
+       |  SELECT id_b AS a, id_a AS b FROM verified
+       |),
+       |reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+       |)
+       |SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
   /** Degree-2 interaction-only polynomial features over the entity stats
     * (PolynomialFeatures interaction_only, `LR_Advanced.py:511-528`) —
     * products of deterministic doubles, generated for all C(8,2) pairs of

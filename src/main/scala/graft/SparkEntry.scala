@@ -258,6 +258,11 @@ object SparkEntry {
         shingleK = 3, numHashes = 12, bands = 4)
       Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 1)
     }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      // terminal dedup deliverable: LSH recall -> exact-Jaccard precision ->
+      // connected components; survivor = row with doc_id == cluster_id
+      Dedup.clusters(Pipelines.table(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 12, bands = 4, jaccardThreshold = 0.6)),
     "q_doc_quality" -> ((s, dir) =>
       TextAnalysis.qualityFiltered(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("quality_score"), col("n_tokens"))),
@@ -345,6 +350,7 @@ object SparkEntry {
     "q_minhash_sig" -> OracleSql.qMinHashSig,
     "q_lsh_pairs" -> OracleSql.qLshPairs,
     "q_dedup_exact" -> OracleSql.qDedupExact,
+    "q_dedup_clusters" -> OracleSql.qDedupClusters,
     "q_jaccard_verify" -> OracleSql.qJaccardVerify,
     "q_binary_meta" -> OracleSql.qBinaryMeta,
     "q_token_stats" -> OracleSql.qTokenStats,

@@ -150,6 +150,62 @@ object Dedup {
   def withSimHash(df: DataFrame, textCol: String = "text", out: String = "simhash"): DataFrame =
     df.withColumn(out, simHash(col(textCol)))
 
+  /** Connected components by min-label propagation (BSP rounds, the
+    * GraphX/GraphFrames CC algorithm shape): every node starts labeled with
+    * its own id; each round, a node adopts the min of its label and its
+    * neighbors' labels; converged when a round changes nothing. Rounds =
+    * graph diameter — dedup graphs are near-stars (exact groups attach to a
+    * representative), so 2-3 rounds in practice.
+    *
+    * Scale shape: each round is one keyed join + one map-side-combined
+    * groupBy — no global structure; `localCheckpoint` cuts the growing
+    * lineage each round (swap for reliable checkpointing on a cluster).
+    * Deterministic: min is order-independent. Fails fast (require) if
+    * `maxIter` rounds don't converge rather than returning partial labels.
+    *
+    * Returns (idCol, cluster_id) for EVERY node; cluster_id = min id in the
+    * component, so a row is its cluster's survivor iff id == cluster_id. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
+    var labels = nodes.select(col(idCol).cast("long").as("__node"))
+      .withColumn("__lab", col("__node")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neigh = sym.join(labels, col("a") === col("__node"))
+        .groupBy(col("b")).agg(min(col("__lab")).as("__nlab"))
+      val stepped = labels.join(neigh, labels("__node") === neigh("b"), "left")
+        .select(col("__node"),
+          least(col("__lab"), coalesce(col("__nlab"), col("__lab"))).as("__lab"),
+          (coalesce(col("__nlab"), col("__lab")) < col("__lab")).as("__chg"))
+        .localCheckpoint() // cut lineage; one materialization per round
+      changed = stepped.filter(col("__chg")).count()
+      labels = stepped.select("__node", "__lab")
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("__node").as(idCol), col("__lab").as("cluster_id"))
+  }
+
+  /** The terminal dedup deliverable: cluster id per document. Edges =
+    * LSH candidate pairs (already bounded by the exact pre-pass + hot-bucket
+    * cap) verified by exact token-set Jaccard >= `jaccardThreshold`; the
+    * clusters are the connected components, so exact dups, transitive
+    * near-dup chains, and singletons all land correctly. Survivor = the row
+    * with id == cluster_id. */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+               shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
+               maxBucket: Int = DefaultMaxBucket,
+               jaccardThreshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, shingleK, numHashes, bands, maxBucket)
+    val verified = ngramJaccard(df, pairs, idCol, textCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)), verified, idCol, maxIter)
+  }
+
   /** Exact token-set Jaccard for candidate pairs (precision verification).
     * `pairs` carries (id_a, id_b); texts joined in from `df`. Both joins are
     * plain equi-joins on the id — broadcastable when the candidate set or the

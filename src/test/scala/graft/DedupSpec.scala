@@ -183,6 +183,31 @@ class DedupSpec extends SparkSpec {
     assert(nat == hof) // exact double equality — same fold order
   }
 
+  test("dedup clusters: transitivity, exact groups, singletons, survivors") {
+    // a near-dup chain where the far ends are NOT direct near-dups
+    // (token-Jaccard 100↔103 = 7/13 ≈ 0.54 < 0.6, adjacent links ≥ 0.67),
+    // an exact-dup group, and an unrelated singleton
+    val docs2 = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota KAPPA2"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta IOTA2 KAPPA2"),
+      (103L, "alpha beta gamma delta epsilon zeta eta THETA2 IOTA2 KAPPA2"),
+      (200L, "identical purchase conversation transcript about nothing else"),
+      (201L, "identical purchase conversation transcript about nothing else"),
+      (300L, "totally standalone document with unique vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.clusters(docs2, "doc_id", "text", shingleK = 1, numHashes = 12,
+      bands = 6, jaccardThreshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100L) == 100L && got(101L) == 100L && got(102L) == 100L,
+      s"near-dup chain did not merge: $got")
+    assert(got(103L) == 100L, "transitive member (direct Jaccard below threshold) must still join")
+    assert(got(200L) == 200L && got(201L) == 200L, "exact group clusters on its min id")
+    assert(got(300L) == 300L, "singleton keeps its own id")
+    // survivors = rows whose id equals their cluster id
+    assert(got.filter { case (id, c) => id == c }.keySet == Set(100L, 200L, 300L))
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     // CosineSim reads ArrayData.getFloat — an array<double> embedding column
     // must be an analysis error, not silently-garbage similarities
