@@ -833,6 +833,32 @@ object OracleSql {
        |SELECT vec_id, ${sqlCosine("embedding", "qe")} AS cos_sim
        |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** IVF-flat ANN top-k (mirrors Similarity.ivfTopK, nlist=16, nprobe=4):
+    * scramble-sampled centroids, nearest-centroid assignment with a
+    * lexicographic (cos, -cid) struct-max tie-break, probe the query's 4
+    * nearest lists, exact cosine top 10. */
+  val qAnnIvf: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM base
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16
+       |),
+       |assigned AS (
+       |  SELECT b.vec_id,
+       |    (max(struct_pack(c := ${sqlCosine("b.embedding", "c.cemb")},
+       |                     n := -c.cid, i := c.cid))).i AS list_id,
+       |    first(b.embedding) AS embedding
+       |  FROM base b, cents c GROUP BY b.vec_id
+       |),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c.cid AS probe FROM cents c, q
+       |  ORDER BY ${sqlCosine("q.qe", "c.cemb")} DESC, c.cid LIMIT 4
+       |)
+       |SELECT a.vec_id, ${sqlCosine("a.embedding", "q.qe")} AS cos_sim
+       |FROM assigned a JOIN probes p ON a.list_id = p.probe, q
+       |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

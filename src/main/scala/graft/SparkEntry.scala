@@ -285,6 +285,12 @@ object SparkEntry {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         queryDf = emb.filter(col("vec_id") === 0), k = 10, bits = 4, seed = 42L)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") === 0), k = 10, nlist = 16, nprobe = 4)
+    }),
 
     // — model-artifact export (rows-only check: LR solver coefficients are
     //   engine-specific, so no cross-engine value oracle is possible) —
@@ -357,6 +363,7 @@ object SparkEntry {
     "q_doc_quality" -> OracleSql.qDocQuality,
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
     "q_ann_lsh" -> OracleSql.qAnnLsh,
+    "q_ann_ivf" -> OracleSql.qAnnIvf,
     "q_embed_similar" -> OracleSql.qEmbedSimilar
   )
 }

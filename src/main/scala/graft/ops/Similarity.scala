@@ -80,6 +80,47 @@ object Similarity {
     sig.reduce((a, b) => a + b)
   }
 
+  /** IVF-flat ANN top-k — the inverted-file scale path next to [[lshTopK]]:
+    * a coarse quantizer of `nlist` centroids, every vector assigned to its
+    * nearest centroid's inverted list, queries probing only the `nprobe`
+    * nearest lists — an O(N·nprobe/nlist) candidate read instead of O(N)
+    * when the table is written partitioned/bucketed by `list_id` at ingest.
+    *
+    * Centroids are a deterministic scramble-ordered sample of the corpus
+    * (production swaps in Lloyd-iterated centroids; the sampled quantizer
+    * keeps the operator bit-reproducible across engines, so it sits under
+    * the DuckDB hash gate). Assignment ties (equal cosine) break to the
+    * LOWEST centroid id via a lexicographic (cos, -cid) struct max — the
+    * cosines are bit-identical in both engines, so the argmax agrees.
+    *
+    * Plan shape: centroid selection is a TakeOrderedAndProject of nlist
+    * tiny rows; assignment is a broadcast join + one map-side-combined
+    * struct-max groupBy; the probe filter is a broadcast semi-ish join; the
+    * final top-k is TakeOrderedAndProject. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = df
+      .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).cast("long").as("__cid"), col(embCol).as("__cemb"))
+    val assignKey = struct(
+      cosine(col(embCol), col("__cemb")).as("c"),
+      (-col("__cid")).as("n"), col("__cid").as("i"))
+    val assigned = df.join(broadcast(cents))
+      .groupBy(col(idCol))
+      .agg(max(assignKey).getField("i").as("__list"), first(col(embCol)).as(embCol))
+    val q = queryDf.select(col(embCol).as("__q"))
+    val probes = q.join(broadcast(cents))
+      .select(col("__cid"), cosine(col("__q"), col("__cemb")).as("__qc"))
+      .orderBy(col("__qc").desc, col("__cid")).limit(nprobe)
+      .select(col("__cid").as("__probe"))
+    assigned.join(broadcast(probes), col("__list") === col("__probe"))
+      .join(broadcast(q))
+      .select(col(idCol), cosine(col(embCol), col("__q")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed ANN top-k: probe only the query's bucket (plus optionally
     * neighboring buckets) — at scale this turns an O(N) scan into an
     * O(N / 2^bits) bucket read when the table is written bucketed/partitioned

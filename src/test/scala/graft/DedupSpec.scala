@@ -223,6 +223,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ivf topk: probed-list scores equal brute force; full probe = exact top-k") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(base, "vec_id", "embedding", q, 5, nlist = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, s) => brute.get(id).foreach(bs => assert(bs == s)) }
+    // probing EVERY list degenerates to exact brute-force top-k
+    val full = Similarity.ivfTopK(base, "vec_id", "embedding", q, 5, nlist = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == brute)
+  }
+
   test("lsh topk agrees with brute force on the shared candidates") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")

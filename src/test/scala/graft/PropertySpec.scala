@@ -141,4 +141,34 @@ class PropertySpec extends SparkSpec {
         Dedup.simHashFromHashes(Dedup.tokenHashes(col("text"))).as("v"))), "simhash")
     df.unpersist()
   }
+
+  test("property: connectedComponents equals union-find on arbitrary graphs") {
+    // random graphs incl. isolated nodes, self-referential shapes, chains,
+    // multi-edges — the distributed min-label fixpoint must equal the exact
+    // sequential union-find answer every time
+    val genGraph: Gen[(Seq[Long], Seq[(Long, Long)])] = for {
+      n <- Gen.choose(1, 30)
+      m <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield ((0L until n.toLong), edges)
+    cases(genGraph, n = 10).foreach { case (nodes, edges) =>
+      def find(p: scala.collection.mutable.Map[Long, Long], x: Long): Long =
+        if (p(x) == x) x else { val r = find(p, p(x)); p(x) = r; r }
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(parent, a), find(parent, b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(x => x -> find(parent, x)).toMap
+      val nodesDf = nodes.toDF("doc_id")
+      val edgesDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
 }

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(3600000000L)(userIdx) == 2L, "W1 cumulative = W0 + W1 users only")
   }
 
+  test("streaming exact dedup ≡ batch survivors; watermark variant bounds state") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    val docs = Seq(
+      (0L, "alpha doc body", "2024-01-01 00:00:00"),
+      (1L, "alpha doc body", "2024-01-01 00:00:05"), // dup of 0 within watermark
+      (2L, "beta doc body", "2024-01-01 00:01:00"),
+      (3L, "gamma doc body", "2024-01-01 00:02:00"),
+      (4L, "beta doc body", "2024-01-01 00:02:30")   // dup of 2
+    ).toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // one input partition, id order → streaming first-seen = batch min-id
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = graft.streaming.StreamingDedup
+      .withinWatermark(stream, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"streaming=$streamed batch=$batch")
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches batch session ids") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val turns = TranscriptGen.turns(spark, seed = 52L, nConvs = 10)
