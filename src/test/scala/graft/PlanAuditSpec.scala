@@ -26,6 +26,19 @@ class PlanAuditSpec extends SparkSpec {
       s"column pruning lost:\n$p")
   }
 
+  test("document-scan queries prune to (doc_id, text) — lang/source/n_chars never read") {
+    // documents.parquet carries 5 columns; the text operators need 2. A scan
+    // that reads all 5 wastes 40%+ of the 100 TB corpus read.
+    Seq("q_token_stats", "q_lang_id", "q_simhash", "q_fingerprint", "q_minhash_sig",
+      "q_dedup_exact", "q_doc_quality", "q_binary_meta").foreach { q =>
+      val p = planOf(q)
+      val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(read.nonEmpty, s"$q: no parquet ReadSchema found:\n$p")
+      Seq("lang", "source", "n_chars").foreach(c =>
+        assert(!read.contains(c), s"$q reads unused column $c: $read"))
+    }
+  }
+
   test("q_join_broadcast: nation joins as BroadcastHashJoin") {
     val p = planOf("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
