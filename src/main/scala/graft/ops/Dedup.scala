@@ -167,8 +167,13 @@ object Dedup {
     * component, so a row is its cluster's survivor iff id == cluster_id. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // materialize the symmetric edge list ONCE — it is re-joined every
+    // round, and recomputing a lazy upstream (e.g. the whole LSH + Jaccard
+    // candidate pipeline) per round would multiply the dominant cost by the
+    // round count
     val sym = edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).cast("long").as("__node"))
       .withColumn("__lab", col("__node")).localCheckpoint()
     var changed = 1L
