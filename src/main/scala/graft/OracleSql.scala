@@ -793,7 +793,14 @@ object OracleSql {
 
   /** Blocked (label-keyed) near-duplicate pairs with exact cosine verify. */
   val qEmbedSimilar: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    s"""WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings),
+       |e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, label, embedding,
+       |      COUNT(*) OVER (PARTITION BY label) AS bn
+       |    FROM e0
+       |  ) WHERE bn <= ${graft.ops.Similarity.DefaultMaxBlock}
+       |),
        |pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${sqlCosine("a.embedding", "b.embedding")} AS cos_sim

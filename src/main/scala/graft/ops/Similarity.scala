@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default hot-block cap for [[nearDupPairs]] — shared with the DuckDB
+    * oracle SQL so both engines skip exactly the same blocks. */
+  val DefaultMaxBlock: Int = 100000
+
   /** Deterministic left-to-right double dot product of two float arrays
     * (HOF form — spec cross-check only; production path is the native
     * codegen'd graft.functions.CosineSim). */
@@ -51,11 +55,22 @@ object Similarity {
     * label, LSH bucket, …) then exact cosine filter — the standard
     * candidate-then-verify shape that avoids the O(N²) cross product. The
     * blocking side is a plain shuffle join, so it scales with the block-size
-    * distribution, not the table square. */
+    * distribution, not the table square — and `maxBlock` bounds the one
+    * residual quadratic (a hot block of B members emits B² join rows):
+    * blocks over the cap are skipped deterministically via a keyed window
+    * count (same bound as Dedup.minHashLshPairs' hot buckets), with
+    * truncation observable through the `embed_block_cap` query metrics. */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String, blockCol: String,
-                   threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(blockCol).as("__blk"), col(embCol).as("__ea"))
-    val b = df.select(col(idCol).as("id_b"), col(blockCol).as("__blk"), col(embCol).as("__eb"))
+                   threshold: Double, maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"))
+    val capped = df.select(col(idCol), col(blockCol).as("__blk"), col(embCol))
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .observe("embed_block_cap",
+        sum(when(col("__bn") > maxBlock, 1L).otherwise(0L)).as("rows_in_skipped_blocks"),
+        max(col("__bn")).as("max_block_size"))
+      .filter(col("__bn") <= maxBlock)
+    val a = capped.select(col(idCol).as("id_a"), col("__blk"), col(embCol).as("__ea"))
+    val b = capped.select(col(idCol).as("id_b"), col("__blk"), col(embCol).as("__eb"))
     a.join(b, "__blk")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("__ea"), col("__eb")).as("cos_sim"))

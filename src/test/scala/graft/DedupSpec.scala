@@ -223,6 +223,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("blocked near-dup pairs: hot blocks skipped deterministically, small blocks pair") {
+    val rnd = new scala.util.Random(9)
+    def vec() = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    val near = vec()
+    val hot = (0 until 30).map(i => (i.toLong, "hot", vec()))
+    val small = Seq((100L, "ok", near), (101L, "ok", near.map(x => x * 1.1f)))
+    val emb = (hot ++ small).toDF("vec_id", "label", "embedding")
+    val capped = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label",
+      threshold = -1.0, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a < 100 && b < 100 }, "hot-block pairs leaked")
+    assert(capped == Set((100L, 101L)), s"small block must still pair: $capped")
+    // default cap: hot block passes through untouched
+    val full = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", threshold = -1.0)
+      .filter(col("id_a") < 100).count()
+    assert(full == 30L * 29 / 2)
+  }
+
   test("ivf topk: probed-list scores equal brute force; full probe = exact top-k") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
