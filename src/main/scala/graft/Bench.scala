@@ -88,9 +88,17 @@ object Bench {
     // warm the JIT/codegen once with the cheapest query
     try exec(SparkEntry.queries("q_tumbling_hour")(spark, sfDir)) catch { case _: Throwable => }
 
+    // min-of-2 reps per query: single-shot times in a shared JVM carry
+    // GC-debt outliers (round 3's driver run read q_pr_curve at 7.1 s where
+    // 3 fresh-JVM runs read 1.1-1.4 s). Two full reps (construction included
+    // — PrefixSum-based queries build eagerly) bound that noise while keeping
+    // the pass ~2x, and rep-1 totals are reported alongside so the variance
+    // is visible, not hidden.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try time(exec(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-      name -> t
+      def rep(): Double = try time(exec(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val t1 = rep()
+      val t2 = if (t1 < 0) t1 else rep()
+      name -> (math.min(t1, t2), t1)
     }
     // adaptive steady-state reps (rep 1 pays JIT + codegen + shuffle warm-up;
     // round 1's fixed 2 reps under-reported throughput ~50× vs steady state).
@@ -109,9 +117,11 @@ object Bench {
     val nTurns = runs.head._1
     val tps = runs.map(_._2).max
     val tpsMedian = runs.map(_._2).sorted.apply(runs.size / 2)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
+    val qs1 = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalRep1 = results.map(_._2._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rep_policy":"min_of_2","total_rep1":$totalRep1,"queries_rep1":$qs1,"turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
     // belt-and-braces for the driver's parser: a well-known file AND the
     // final bare stdout line (build.sbt StdoutOutput keeps it unprefixed).
     // cwd-relative (forked run cwd = repo root) so it works from any checkout

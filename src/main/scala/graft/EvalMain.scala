@@ -63,7 +63,11 @@ object EvalMain {
       .withColumn("label", col("purchase_yn").cast("double"))
     val scored = model.transform(assembled).select(col("purchase_yn").as("y"),
       org.apache.spark.ml.functions.vector_to_array(col("probability"))(1).as("score"))
-    val curve = Metrics.prCurve(scored, "y", "score")
+    // driver-side collect bounded like every other collect in the repo
+    // (Xlsx.maxRows, broadcastIndex maxIndexRows): past 2000 distinct scores
+    // the curve quantizes to a 2000-point grid — indistinguishable in an SVG
+    val curve = Metrics.prCurve(scored, "y", "score",
+        maxDistinctScores = 2000L, quantizeBins = 2000)
       .select("recall", "precision").na.drop()
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
     Figures.save(Figures.prCurveSvg(curve), s"$outDir/pr_curve.svg")

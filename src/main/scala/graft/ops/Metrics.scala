@@ -87,15 +87,33 @@ object Metrics {
 
   /** F1 over a threshold grid (the 99-threshold scan, `OOF_AUC_test.py:355-
     * 364`). Histogram-first: the 99× row amplification hits the DISTINCT-
-    * SCORE table, not the scan (round 1 cross-joined the full input). For
-    * continuous scores at extreme scale, quantize upstream (calibrationBins'
-    * binning) to bound the histogram. */
+    * SCORE table, not the scan (round 1 cross-joined the full input).
+    *
+    * Continuous-score guard (mirrors [[averagePrecision]]'s): for continuous
+    * double scores the "distinct-score table" is |rows|-sized and the grid
+    * amplification becomes 99×|rows|. A cheap HLL probe
+    * (`approx_count_distinct`, one map-side pass, tiny shuffle) gates a
+    * quantized histogram (`floor(score·quantizeBins)/quantizeBins`) built
+    * DIRECTLY from the input — the unbounded exact histogram is never
+    * materialized on the guarded path. Quantized F1 is an approximation
+    * (each score snaps down to its grid point before the >= comparison);
+    * the default gate (2^20 distinct) keeps every exact-oracle use exact.
+    * EAGER: the probe runs a job at construction time. */
   def thresholdScan(df: DataFrame, label: String, score: String,
-                    thresholds: Seq[Double]): DataFrame = {
+                    thresholds: Seq[Double],
+                    maxDistinctScores: Long = 1L << 20,
+                    quantizeBins: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    scoreHistogram(df, label, score)
+    val distinctApprox =
+      df.agg(approx_count_distinct(col(score), 0.02)).head().getLong(0)
+    val hist =
+      if (distinctApprox <= maxDistinctScores) scoreHistogram(df, label, score)
+      else df.groupBy((floor(col(score) * quantizeBins) / quantizeBins).as("__s"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col(label) === 1, 1L).otherwise(0L)).as("__p"))
+    hist
       .withColumn("__gn", col("__n") - col("__p"))
       .crossJoin(broadcast(th))
       .groupBy(col("threshold"))
@@ -110,31 +128,51 @@ object Metrics {
           .as("f1"))
   }
 
-  /** Cumulative score table for PR metrics: per distinct score s (predicting
-    * positive when score >= s), exact tp and predicted-positive counts, plus
-    * the per-score positives `__p` and the global positive total. */
-  private def prCumulative(df: DataFrame, label: String, score: String): DataFrame =
-    prCumulativeHist(scoreHistogram(df, label, score))
-
-  private def prCumulativeHist(g: DataFrame): DataFrame = {
-    // total positives come free from the prefix pass-1 carry — no extra
-    // agg job or broadcast join over the cumulative table
-    val (cum, totals) =
-      PrefixSum.runningSumsWithTotals(g, Seq(col("__s").desc), Seq("__n", "__p"))
-    cum.withColumn("__tp_total", lit(totals("__p")))
+  /** Guarded cumulative score table for PR metrics: descending prefix sums
+    * over the distinct-score histogram, with the continuous-score quantize
+    * guard. Returns the cumulative table plus the global positive total
+    * (free from the prefix pass-1 carry — no extra agg job).
+    *
+    * Guard: |distinct| also rides the pass-1 carry (`__one`); above
+    * `maxDistinctScores` the histogram is re-aggregated onto a
+    * `floor(score·quantizeBins)/quantizeBins` grid before the prefix pass,
+    * bounding both the fold/collect sizes downstream AND the output row
+    * count at `quantizeBins`+1. EAGER like the PrefixSum it wraps. */
+  private def guardedCumulative(df: DataFrame, label: String, score: String,
+                                maxDistinctScores: Long,
+                                quantizeBins: Int): (DataFrame, Long) = {
+    val g0 = scoreHistogram(df, label, score).withColumn("__one", lit(1L))
+    val (cum0, tot0) =
+      PrefixSum.runningSumsWithTotals(g0, Seq(col("__s").desc), Seq("__n", "__p", "__one"))
+    if (tot0("__one") <= maxDistinctScores)
+      (cum0.drop("__one", "__one_cum"), tot0("__p"))
+    else {
+      val gq = g0.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
+        .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
+      val (c, t) = PrefixSum.runningSumsWithTotals(gq, Seq(col("__s").desc), Seq("__n", "__p"))
+      (c, t("__p"))
+    }
   }
 
   /** OOF precision-recall curve (`OOF_AUC_test.py:336-340`): one row per
     * distinct score threshold with exact cumulative counts; precision and
-    * recall are single divisions of exact longs (oracle-hash-stable). */
-  def prCurve(df: DataFrame, label: String, score: String): DataFrame =
-    prCumulative(df, label, score).select(
+    * recall are single divisions of exact longs (oracle-hash-stable).
+    * Continuous scores quantize past `maxDistinctScores` (see
+    * [[guardedCumulative]]) so the curve itself stays bounded — callers that
+    * collect it for plotting (EvalMain) pass a small `quantizeBins`. */
+  def prCurve(df: DataFrame, label: String, score: String,
+              maxDistinctScores: Long = 1L << 20,
+              quantizeBins: Int = 100000): DataFrame = {
+    val (cum, tpTotal) =
+      guardedCumulative(df, label, score, maxDistinctScores, quantizeBins)
+    cum.select(
       col("__s").as("threshold"),
       col("__p_cum").as("tp"),
       col("__n_cum").as("n_pred"),
       (col("__p_cum").cast("double") / col("__n_cum").cast("double")).as("precision"),
-      when(col("__tp_total") > 0,
-        col("__p_cum").cast("double") / col("__tp_total").cast("double")).as("recall"))
+      when(lit(tpTotal) > 0,
+        col("__p_cum").cast("double") / lit(tpTotal).cast("double")).as("recall"))
+  }
 
   /** Average precision (sklearn `average_precision_score`, the reference's
     * headline PR-AUC): AP = Σ_j ΔR_j · P_j over thresholds = distinct scores
@@ -161,17 +199,8 @@ object Metrics {
   def averagePrecision(df: DataFrame, label: String, score: String,
                        maxDistinctScores: Long = 1L << 20,
                        quantizeBins: Int = 100000): DataFrame = {
-    val g0 = scoreHistogram(df, label, score).withColumn("__one", lit(1L))
-    val (cum0, tot0) =
-      PrefixSum.runningSumsWithTotals(g0, Seq(col("__s").desc), Seq("__n", "__p", "__one"))
     val (cum, tpTotal) =
-      if (tot0("__one") <= maxDistinctScores) (cum0, tot0("__p"))
-      else {
-        val gq = g0.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
-          .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
-        val (c, t) = PrefixSum.runningSumsWithTotals(gq, Seq(col("__s").desc), Seq("__n", "__p"))
-        (c, t("__p"))
-      }
+      guardedCumulative(df, label, score, maxDistinctScores, quantizeBins)
     val term = (col("__p").cast("double") / lit(tpTotal).cast("double")) *
       (col("__p_cum").cast("double") / col("__n_cum").cast("double"))
     cum

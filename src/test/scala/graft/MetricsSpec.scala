@@ -126,6 +126,43 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(gotRaw - expRaw) < 1e-9, s"got=$gotRaw exp=$expRaw")
   }
 
+  test("prCurve and thresholdScan auto-quantize continuous scores (bounded histogram)") {
+    val rnd = new scala.util.Random(29)
+    val cont = (1 to 4000).map { i =>
+      val s = rnd.nextDouble()
+      (i.toLong, if (rnd.nextDouble() < s) 1 else 0, s)
+    }.toDF("id", "y", "score")
+    val raw = cont.select("y", "score").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val quant = raw.map { case (y, s) => (y, math.floor(s * 64) / 64) }
+
+    // prCurve guard: output rows bounded at the grid size; counts match the
+    // per-row definition over quantized scores
+    val curve = Metrics.prCurve(cont, "y", "score",
+      maxDistinctScores = 100, quantizeBins = 64).collect()
+    assert(curve.length <= 65, s"curve not bounded: ${curve.length} rows")
+    val total = quant.count(_._1 == 1).toDouble
+    curve.foreach { r =>
+      val (t, tp, np) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+      assert(tp == quant.count(x => x._1 == 1 && x._2 >= t).toLong, s"tp@$t")
+      assert(np == quant.count(_._2 >= t).toLong, s"n_pred@$t")
+      assert(math.abs(r.getDouble(4) - tp / total) < 1e-12, s"recall@$t")
+    }
+    // exact path untouched under the gate
+    assert(Metrics.prCurve(cont, "y", "score").count() == raw.map(_._2).distinct.length)
+
+    // thresholdScan guard: quantized counts at every grid threshold
+    val ths = (1 to 19).map(_ / 20.0)
+    val got = Metrics.thresholdScan(cont, "y", "score", ths,
+      maxDistinctScores = 100, quantizeBins = 64)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ths.foreach { t =>
+      val tp = quant.count(r => r._1 == 1 && r._2 >= t).toLong
+      val fp = quant.count(r => r._1 == 0 && r._2 >= t).toLong
+      val fn = quant.count(r => r._1 == 1 && r._2 < t).toLong
+      assert(got(t) == ((tp, fp, fn)), s"t=$t")
+    }
+  }
+
   test("approx-quantile scale path stays within tolerance of the exact path") {
     val dir = "/root/testdata/sf0.001"
     val cols = Pipelines.quartet.map(q => s"${q}_count")
