@@ -457,7 +457,7 @@ object OracleSql {
   private val lshPairsCte: String =
     s"""wr AS (
        |  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS rep
-       |  FROM documents
+       |  FROM documents WHERE text IS NOT NULL
        |),
        |exact_edges AS (SELECT rep AS id_a, doc_id AS id_b FROM wr WHERE doc_id <> rep),
        |reps AS (SELECT doc_id, text FROM wr WHERE doc_id = rep),

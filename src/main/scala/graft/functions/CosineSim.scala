@@ -64,6 +64,23 @@ object CosineSim {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Driver-side twin of the expression fold (float→double, left-to-right,
+    * independent norms) — used for bounded scalar work like IVF probe
+    * selection; bit-identical to the expression and the DuckDB oracle. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 }

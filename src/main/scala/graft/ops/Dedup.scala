@@ -98,9 +98,13 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     // exact pre-pass: one keyed window shuffle yields both the representative
-    // set (distinct texts) and the linear star edges of each exact-dup group
+    // set (distinct texts) and the linear star edges of each exact-dup group.
+    // NULL texts are dropped first: SQL windows treat nulls as EQUAL, so the
+    // pre-pass would otherwise star-pair unrelated no-text documents
+    // (round-3 advice); they carry no content to near-dup against.
     val wt = org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))
     val withRep = df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
       .withColumn("__rep", min(col(idCol)).over(wt))
     val exactEdges = withRep.filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
@@ -158,24 +162,62 @@ object Dedup {
     * representative), so 2-3 rounds in practice.
     *
     * Scale shape: each round is one keyed join + one map-side-combined
-    * groupBy — no global structure; `localCheckpoint` cuts the growing
-    * lineage each round (swap for reliable checkpointing on a cluster).
+    * groupBy, materialized by ONE job — the changed-row count rides that
+    * materialization on a LongAccumulator instead of a second scan (the
+    * round-3 shape ran localCheckpoint + a `count()` per round). A task
+    * retry can only over-count the accumulator (transformation-stage
+    * semantics), which at worst runs one extra no-op round — convergence is
+    * still proven by the final `changed == 0` require. Superseded rounds are
+    * unpersisted as soon as the next round lands (executor storage stays
+    * O(1) in the round count); the FINAL label RDD and the edge list stay
+    * persisted because the returned DataFrame reads them — callers drop them
+    * with `unpersistAfterUse` on the session's cache, or simply let them age
+    * out.
+    *
+    * `reliable = true` swaps the MEMORY_AND_DISK persist for a real RDD
+    * checkpoint (requires `sparkContext.setCheckpointDir`) — the
+    * executor-loss-safe cluster path; default stays local-fast.
     * Deterministic: min is order-independent. Fails fast (require) if
     * `maxIter` rounds don't converge rather than returning partial labels.
     *
     * Returns (idCol, cluster_id) for EVERY node; cluster_id = min id in the
     * component, so a row is its cluster's survivor iff id == cluster_id. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    if (reliable) require(sc.getCheckpointDir.isDefined,
+      "reliable=true needs sparkContext.setCheckpointDir")
+    // materialize a plan into a leaf RDD-backed DataFrame (cuts lineage like
+    // localCheckpoint, but hands back the RDD so superseded rounds can be
+    // unpersisted exactly); optionally counts rows with __chg=true during
+    // the same pass via an accumulator
+    def materialize(df: DataFrame, chgIdx: Int)
+        : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Long, DataFrame) = {
+      val acc = sc.longAccumulator("cc_changed")
+      val base = df.queryExecution.toRdd.mapPartitions { it =>
+        it.map { r =>
+          if (chgIdx >= 0 && r.getBoolean(chgIdx)) acc.add(1L)
+          r.copy()
+        }
+      }
+      val rdd = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reliable) rdd.checkpoint()
+      rdd.count() // the round's ONE job: persist + checkpoint + change count
+      (rdd, acc.value,
+        org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, df.schema))
+    }
     // materialize the symmetric edge list ONCE — it is re-joined every
     // round, and recomputing a lazy upstream (e.g. the whole LSH + Jaccard
     // candidate pipeline) per round would multiply the dominant cost by the
     // round count
-    val sym = edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).cast("long").as("__node"))
-      .withColumn("__lab", col("__node")).localCheckpoint()
+    val (symRdd, _, sym) = materialize(
+      edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+        .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))),
+      chgIdx = -1)
+    var (labRdd, _, labels) = materialize(
+      nodes.select(col(idCol).cast("long").as("__node")).withColumn("__lab", col("__node")),
+      chgIdx = -1)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -185,12 +227,15 @@ object Dedup {
         .select(col("__node"),
           least(col("__lab"), coalesce(col("__nlab"), col("__lab"))).as("__lab"),
           (coalesce(col("__nlab"), col("__lab")) < col("__lab")).as("__chg"))
-        .localCheckpoint() // cut lineage; one materialization per round
-      changed = stepped.filter(col("__chg")).count()
-      labels = stepped.select("__node", "__lab")
+      val (rdd, chg, df) = materialize(stepped, chgIdx = 2)
+      changed = chg
+      labRdd.unpersist(blocking = false) // superseded round: free its blocks now
+      labRdd = rdd
+      labels = df.select("__node", "__lab")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    symRdd.unpersist(blocking = false) // edges are not read by the result
     labels.select(col("__node").as(idCol), col("__lab").as("cluster_id"))
   }
 

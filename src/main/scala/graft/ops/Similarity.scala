@@ -105,31 +105,37 @@ object Similarity {
     * (production swaps in Lloyd-iterated centroids; the sampled quantizer
     * keeps the operator bit-reproducible across engines, so it sits under
     * the DuckDB hash gate). Assignment ties (equal cosine) break to the
-    * LOWEST centroid id via a lexicographic (cos, -cid) struct max — the
-    * cosines are bit-identical in both engines, so the argmax agrees.
+    * LOWEST centroid id — the cosines are bit-identical in both engines, so
+    * the argmax agrees (see [[graft.functions.CosineArgMax]]).
     *
-    * Plan shape: centroid selection is a TakeOrderedAndProject of nlist
-    * tiny rows; assignment is a broadcast join + one map-side-combined
-    * struct-max groupBy; the probe filter is a broadcast semi-ish join; the
-    * final top-k is TakeOrderedAndProject. */
+    * Plan shape: centroid selection is a TakeOrderedAndProject of nlist tiny
+    * rows (collected — bounded at nlist); assignment is ONE codegen'd
+    * map-only projection (`CosineArgMax`), with zero row amplification — the
+    * previous broadcast-join + struct-max groupBy materialized N×nlist
+    * pre-combine rows, the dominant cost at a production nlist of 4k-64k;
+    * probe selection is nlist driver-side cosines (same fold — bit-identical
+    * to the oracle); the probe read is a codegen'd `isin` filter; the final
+    * top-k is TakeOrderedAndProject.
+    *
+    * Contract: `queryDf` is a SINGLE query row (enforced) — per-query top-k
+    * over a query batch partitions these stages by a query id instead.
+    * EAGER: centroids and the query row are collected at construction. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = df
+    val centRows = df
       .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
       .limit(nlist)
-      .select(col(idCol).cast("long").as("__cid"), col(embCol).as("__cemb"))
-    val assignKey = struct(
-      cosine(col(embCol), col("__cemb")).as("c"),
-      (-col("__cid")).as("n"), col("__cid").as("i"))
-    val assigned = df.join(broadcast(cents))
-      .groupBy(col(idCol))
-      .agg(max(assignKey).getField("i").as("__list"), first(col(embCol)).as(embCol))
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+    val cents = centRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val qRows = queryDf.select(col(embCol)).limit(2).collect()
+    require(qRows.length == 1, "ivfTopK probes a single query row; got " + qRows.length)
+    val qv = qRows(0).getSeq[Float](0).toArray
+    val probeIds = cents
+      .map { case (cid, ce) => (graft.functions.CosineSim.cosine(qv, ce), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).map(_._2)
     val q = queryDf.select(col(embCol).as("__q"))
-    val probes = q.join(broadcast(cents))
-      .select(col("__cid"), cosine(col("__q"), col("__cemb")).as("__qc"))
-      .orderBy(col("__qc").desc, col("__cid")).limit(nprobe)
-      .select(col("__cid").as("__probe"))
-    assigned.join(broadcast(probes), col("__list") === col("__probe"))
+    df.withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
+      .filter(col("__list").isin(probeIds: _*))
       .join(broadcast(q))
       .select(col(idCol), cosine(col(embCol), col("__q")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -139,7 +145,12 @@ object Similarity {
   /** Bucketed ANN top-k: probe only the query's bucket (plus optionally
     * neighboring buckets) — at scale this turns an O(N) scan into an
     * O(N / 2^bits) bucket read when the table is written bucketed/partitioned
-    * by the signature. */
+    * by the signature.
+    *
+    * Contract (as for [[bruteForceTopK]] and [[ivfTopK]]): `queryDf` is a
+    * SINGLE query row — the final top-k is global, so a multi-row batch
+    * would blend queries; per-query batching partitions the rank by a query
+    * id instead. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               queryDf: DataFrame, k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val q = queryDf.select(col(embCol).as("__q"), lshBucket(col(embCol), bits, seed).as("__qb"))

@@ -53,6 +53,11 @@ object Xlsx {
     case n: Short => s"""<c r="$ref" t="n"><v>$n</v></c>"""
     case n: Int => s"""<c r="$ref" t="n"><v>$n</v></c>"""
     case n: Long => s"""<c r="$ref" t="n"><v>$n</v></c>"""
+    // NaN/Infinity are not valid SpreadsheetML numeric cells (Excel would
+    // reject or "repair" the file) — emit a blank cell, mirroring
+    // evaluationJson's NaN→null on degenerate folds
+    case n: Float if n.isNaN || n.isInfinite => ""
+    case n: Double if n.isNaN || n.isInfinite => ""
     case n: Float => s"""<c r="$ref" t="n"><v>$n</v></c>"""
     case n: Double => s"""<c r="$ref" t="n"><v>$n</v></c>"""
     case n: java.math.BigDecimal => s"""<c r="$ref" t="n"><v>$n</v></c>"""

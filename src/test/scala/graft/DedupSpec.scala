@@ -208,6 +208,41 @@ class DedupSpec extends SparkSpec {
     assert(got.filter { case (id, c) => id == c }.keySet == Set(100L, 200L, 300L))
   }
 
+  test("connectedComponents: O(1) pinned storage, reliable checkpoint path, null-text LSH") {
+    // a chain forces ~n BSP rounds (one-hop min-label propagation) —
+    // superseded rounds must be unpersisted as they are replaced (round-3
+    // advice: storage grew linearly with round count)
+    val n = 12
+    val nodesDf = (0L until n.toLong).toDF("doc_id")
+    val edgesDf = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), "chain must collapse to one component")
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1, s"pinned ${leftover.size} RDDs (want <= final labels only)")
+    // reliable=true: real RDD checkpoint; requires a checkpoint dir
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", reliable = true)
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val rel = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == got)
+    // null texts: no star pairs among no-text documents (round-3 advice) —
+    // and clusters() still assigns them singleton components
+    val withNulls = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, null: String), (4L, null: String)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(withNulls, "doc_id", "text", shingleK = 1,
+      numHashes = 12, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"null-text docs must not pair: $pairs")
+    val cl = Dedup.clusters(withNulls, "doc_id", "text", shingleK = 1, numHashes = 12,
+      bands = 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     // CosineSim reads ArrayData.getFloat — an array<double> embedding column
     // must be an analysis error, not silently-garbage similarities
@@ -257,6 +292,32 @@ class DedupSpec extends SparkSpec {
     val full = Similarity.ivfTopK(base, "vec_id", "embedding", q, 5, nlist = 8, nprobe = 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(full == brute)
+    // scale shape: assignment is a single codegen'd projection — no join or
+    // groupBy row amplification (the round-3 plan materialized N×nlist rows);
+    // the only remaining broadcast is the single-row query attach
+    // a real parquet scan — on the in-memory fixture Catalyst const-folds
+    // the whole assignment into the LocalRelation, hiding the plan shape
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    base.write.mode("overwrite").parquet(tmp)
+    val plan = Similarity.ivfTopK(spark.read.parquet(tmp), "vec_id", "embedding", q, 5,
+        nlist = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosineargmax"), s"native argmax missing:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"assignment aggregate resurfaced:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1, s"extra broadcasts:\n$plan")
+  }
+
+  test("CosineArgMax breaks cosine ties to the lowest centroid id") {
+    val e = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "emb")
+    // two identical centroids (cos ties exactly) + one orthogonal
+    val cents = Seq(9L -> Array(2.0f, 0.0f), 3L -> Array(2.0f, 0.0f), 5L -> Array(0.0f, 1.0f))
+    val got = e.select(graft.functions.CosineArgMax.cosine_argmax(col("emb"), cents))
+      .collect()(0).getLong(0)
+    assert(got == 3L)
+    // null embedding → null assignment (nullIntolerant)
+    val n = Seq((1L, null: Array[Float])).toDF("id", "emb")
+      .select(graft.functions.CosineArgMax.cosine_argmax(col("emb"), cents)).collect()(0)
+    assert(n.isNullAt(0))
   }
 
   test("lsh topk agrees with brute force on the shared candidates") {

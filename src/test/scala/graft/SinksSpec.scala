@@ -47,6 +47,21 @@ class SinksSpec extends SparkSpec {
     assert(!sheetXml.contains("B4\" t=\"inlineStr\""))
   }
 
+  test("xlsx: non-finite doubles emit blank cells, not invalid numeric XML") {
+    // degenerate-fold metrics can legitimately be NaN; <v>NaN</v> with t="n"
+    // is invalid SpreadsheetML that Excel rejects or "repairs"
+    val path = tmp(".xlsx")
+    val weird = Seq((1L, Double.NaN, 2.5), (2L, Double.PositiveInfinity, Double.NegativeInfinity))
+      .toDF("id", "a", "b")
+    Xlsx.write(weird.orderBy("id"), path)
+    val zf = new ZipFile(path)
+    val sheetXml = new String(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+    zf.close()
+    assert(!sheetXml.contains("NaN") && !sheetXml.contains("Infinity"))
+    assert(sheetXml.contains("<v>2.5</v>")) // finite neighbors untouched
+  }
+
   test("xlsx: deterministic bytes across re-exports; maxRows guard fails fast") {
     val a = tmp(".xlsx")
     val b = tmp(".xlsx")
