@@ -881,4 +881,70 @@ object OracleSql {
       |  WHERE e.vec_id <> 0
       |)
       |SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Feature-importance ranking over QuantLR's deterministic quantized-GD
+    * logistic regression (mirrors `graft.ml.QuantLR` step for step): the 10
+    * gradient iterations UNROLL into CTE pairs (qtN = quantized gradient
+    * sums, wtN = updated weights). Every arithmetic op is exactly rounded
+    * and executed in the same order as the Spark plan (min-max scaling, one
+    * division; left-associated margin; rational fast-sigmoid; per-row terms
+    * quantized to BIGINT before the sum), so the coefficients — not just the
+    * ranking — hash-match bit for bit. */
+  val qFeatureImportance: String = {
+    val feats = Seq("view_count", "click_count", "signup_count")
+    val iters = graft.ml.QuantLR.DefaultIters
+    val scale = "1073741824.0" // QuantLR.QuantScale = 2^30
+    val lr = "0.5"             // QuantLR.DefaultLr
+    val mmSel = feats.zipWithIndex.map { case (f, i) =>
+      s"MIN($f) AS mn$i, MAX($f) AS mx$i"
+    }.mkString(", ")
+    val zSel = feats.zipWithIndex.map { case (f, i) =>
+      s"CASE WHEN s.mx$i = s.mn$i THEN 0.0 ELSE " +
+        s"CAST(l.$f - s.mn$i AS DOUBLE) / CAST(s.mx$i - s.mn$i AS DOUBLE) END AS z$i"
+    }.mkString(",\n    ")
+    val zNames = feats.indices.map(i => s"z$i").mkString(", ")
+    val w0Sel = (Seq("0.0 AS w0") ++ feats.indices.map(i => s"0.0 AS wf$i")).mkString(", ")
+    val iterCtes = (1 to iters).map { t =>
+      val margin = "w0 + " + feats.indices.map(i => s"wf$i * z$i").mkString(" + ")
+      val qSel = (Seq(s"SUM(CAST(floor(r * $scale) AS BIGINT)) AS g0") ++
+        feats.indices.map(i => s"SUM(CAST(floor((r * z$i) * $scale) AS BIGINT)) AS gf$i"))
+        .mkString(",\n    ")
+      val wSel = (Seq(s"w0 - $lr * (CAST(g0 AS DOUBLE) / $scale / CAST(n AS DOUBLE)) AS w0") ++
+        feats.indices.map(i =>
+          s"wf$i - $lr * (CAST(gf$i AS DOUBLE) / $scale / CAST(n AS DOUBLE)) AS wf$i"))
+        .mkString(",\n    ")
+      // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+      // each wtN is referenced twice by level N+1 — inlining would double
+      // the plan per level (2^iters planning blow-up, observed as a hang)
+      s"""qt$t AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n,
+         |    $qSel
+         |  FROM (SELECT $zNames, ((0.5 + ((0.5 * m) / (1.0 + abs(m)))) - y) AS r
+         |        FROM (SELECT z.*, ($margin) AS m FROM z, wt${t - 1}))
+         |),
+         |wt$t AS MATERIALIZED (
+         |  SELECT $wSel
+         |  FROM wt${t - 1}, qt$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = feats.zipWithIndex.map { case (f, i) =>
+      s"SELECT '$f' AS feature, wf$i AS coef FROM wt$iters"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $slotsCte,
+       |labeled AS ($slotsSelect),
+       |sc AS (SELECT $mmSel FROM labeled),
+       |z AS MATERIALIZED (
+       |  SELECT CAST(l.purchase_yn AS DOUBLE) AS y,
+       |    $zSel
+       |  FROM labeled l, sc s
+       |),
+       |wt0 AS (SELECT $w0Sel),
+       |$iterCtes,
+       |coefs AS (
+       |  $unions
+       |)
+       |SELECT feature, coef,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY abs(coef) DESC, feature) AS INT) AS rank
+       |FROM coefs""".stripMargin
+  }
 }

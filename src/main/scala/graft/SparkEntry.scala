@@ -292,18 +292,15 @@ object SparkEntry {
         queryDf = emb.filter(col("vec_id") === 0), k = 10, nlist = 16, nprobe = 4)
     }),
 
-    // — model-artifact export (rows-only check: LR solver coefficients are
-    //   engine-specific, so no cross-engine value oracle is possible) —
+    // — model-artifact export, now VALUE-oracled: QuantLR's quantized-GD
+    //   trainer produces bit-identical coefficients in Spark and DuckDB
+    //   (the round-3 no_oracle row; solver-trained LR stays in ml.Models
+    //   for the sklearn-analog evaluation runs) —
     "q_feature_importance" -> ((s, dir) => {
-      import s.implicits._
       // slot grain: purchase_yn keeps both classes at every SF (entity-grain
       // saturates to all-1 once every user has bought something)
-      val slots = Pipelines.slots(s, dir)
-      val feats = Seq("view_count", "click_count", "signup_count")
-      // artifact query: the RANKING is the deliverable — 10 LBFGS iterations
-      // are plenty to order 3 coefficients, and keep the bench honest
-      val (_, coefs) = graft.ml.Models.logistic(slots, feats, "purchase_yn", maxIter = 10)
-      graft.ml.Models.featureImportance(coefs, topK = 3).toDF("feature", "coef", "rank")
+      graft.ml.QuantLR.featureImportance(Pipelines.slots(s, dir),
+        Seq("view_count", "click_count", "signup_count"), "purchase_yn", topK = 3)
     })
   )
 
@@ -364,6 +361,7 @@ object SparkEntry {
     "q_similarity_topk" -> OracleSql.qSimilarityTopk,
     "q_ann_lsh" -> OracleSql.qAnnLsh,
     "q_ann_ivf" -> OracleSql.qAnnIvf,
-    "q_embed_similar" -> OracleSql.qEmbedSimilar
+    "q_embed_similar" -> OracleSql.qEmbedSimilar,
+    "q_feature_importance" -> OracleSql.qFeatureImportance
   )
 }

@@ -86,6 +86,54 @@ class MlSpec extends SparkSpec {
     folded.unpersist()
   }
 
+  test("QuantLR: bit-identical to a sequential reference; partition-invariant; learns signs") {
+    // separable-ish counts: label correlates positively with a, negatively
+    // with b, c is noise
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 800).map { i =>
+      val a = rnd.nextInt(50); val b = rnd.nextInt(50); val c = rnd.nextInt(50)
+      val y = if (a - b + rnd.nextInt(20) - 10 > 0) 1 else 0
+      (i.toLong, a.toLong, b.toLong, c.toLong, y)
+    }
+    val df = rows.toDF("id", "a", "b", "c", "y")
+    val w = graft.ml.QuantLR.fit(df, Seq("a", "b", "c"), "y")
+
+    // plain-Scala reference: same scaling, same fold, same quantized sums —
+    // sequential longs are exact, so any Spark partitioning must agree EXACTLY
+    val feats = rows.map(r => Array(r._2, r._3, r._4))
+    val ys = rows.map(_._5.toDouble)
+    val mins = (0 until 3).map(j => feats.map(_(j)).min)
+    val maxs = (0 until 3).map(j => feats.map(_(j)).max)
+    val z = feats.map(f => (0 until 3).map(j =>
+      if (maxs(j) == mins(j)) 0.0 else (f(j) - mins(j)).toDouble / (maxs(j) - mins(j)).toDouble).toArray)
+    val scale = graft.ml.QuantLR.QuantScale
+    val ref = Array.fill(4)(0.0)
+    val nD = rows.size.toDouble
+    for (_ <- 1 to graft.ml.QuantLR.DefaultIters) {
+      val q = Array.fill(4)(0L)
+      z.zip(ys).foreach { case (zi, y) =>
+        var m = ref(0)
+        for (j <- 0 until 3) m = m + ref(j + 1) * zi(j)
+        val r = (0.5 + (0.5 * m) / (1.0 + math.abs(m))) - y
+        q(0) += math.floor(r * scale).toLong
+        for (j <- 0 until 3) q(j + 1) += math.floor((r * zi(j)) * scale).toLong
+      }
+      for (j <- 0 until 4) ref(j) = ref(j) - 0.5 * (q(j).toDouble / scale / nD)
+    }
+    assert(w.toSeq == ref.toSeq, s"got ${w.toSeq} want ${ref.toSeq}")
+    // partition-invariance: the quantized integer sums are order-independent
+    val w7 = graft.ml.QuantLR.fit(df.repartition(7), Seq("a", "b", "c"), "y")
+    assert(w7.toSeq == w.toSeq)
+    // signs: positive on a, negative on b, |noise| smallest
+    assert(w(1) > 0 && w(2) < 0, s"signs wrong: ${w.toSeq}")
+    assert(math.abs(w(3)) < math.abs(w(1)) && math.abs(w(3)) < math.abs(w(2)))
+    // importance artifact: ranked by |coef| desc with the 1-based rank column
+    val fi = graft.ml.QuantLR.featureImportance(df, Seq("a", "b", "c"), "y", topK = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(fi.length == 2 && fi(0)._3 == 1 && fi(1)._3 == 2)
+    assert(math.abs(fi(0)._2) >= math.abs(fi(1)._2))
+  }
+
   test("feature importance ranks by |coef| with deterministic name tie-break") {
     val fi = Models.featureImportance(
       Map("a" -> 0.5, "b" -> -0.9, "d" -> -0.1, "c" -> 0.1), topK = 3)
