@@ -32,18 +32,23 @@ object Models {
   }
 
   /** Deterministic minority-class oversampler (SMOTE analog,
-    * `LR_Advanced.py:626-627`): pairs each minority row with a NEAR NEIGHBOR
-    * — the next row of its LSH feature bucket (random-hyperplane signs over
-    * the feature vector, the same family as Similarity.lshBucket) — and
-    * emits midpoint interpolations until the classes balance.
+    * `LR_Advanced.py:626-627`): pairs each minority row with its EXACT
+    * 1-nearest in-bucket neighbor (squared-euclidean over the feature
+    * vector; LSH buckets via random-hyperplane signs, the same family as
+    * Similarity.lshBucket) and emits midpoint interpolations until the
+    * classes balance.
     *
-    * Documented deviations from sklearn SMOTE: the neighbor is the bucket
-    * successor (approximate 1-NN via LSH, not exact k-NN) and λ is fixed at
-    * 0.5 (not uniform random) for determinism/resumability.
+    * Documented deviations from sklearn SMOTE (shrunk in round 4 — the
+    * neighbor used to be the scrambled bucket SUCCESSOR): the neighbor
+    * search is exact 1-NN restricted to the row's LSH bucket (approximate
+    * global 1-NN — the standard at-scale SMOTE construction), and λ is
+    * fixed at 0.5 (not uniform random) for determinism/resumability.
     *
-    * Scale shape: the pairing window partitions by bucket, so no
-    * single-task global window; for tiny minorities (< 64 rows) everything
-    * falls into one bucket, which is then bounded by construction. */
+    * Scale shape: the per-bucket self-join is the one quadratic, bounded by
+    * ADAPTIVE bucket sizing — bits grow with the minority count so expected
+    * bucket size stays ~256 (B² ≈ 65k join rows per bucket); for tiny
+    * minorities (< 64 rows) a single bucket is exact global 1-NN. No global
+    * windows; ties in distance break to the lowest neighbor id. */
   def oversampleInterpolate(df: DataFrame, idCol: String, labelCol: String,
                             features: Seq[String]): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count().collect()
@@ -53,9 +58,12 @@ object Models {
     val maxN = counts.values.max
     val need = maxN - minN
     if (need <= 0) return df
-    // 16 LSH buckets when the minority is big enough that per-bucket pair
-    // loss (one unpaired row per bucket) stays negligible
-    val bits = if (minN < 64) 0 else 4
+    // ~256 rows per bucket: ceil(log2(minN/256)), floored at 4 bits (16
+    // buckets) to match the historical layout, capped at 20
+    val bits =
+      if (minN < 64) 0
+      else math.min(20, math.max(4,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (minN - 1) / 256)).toInt))
     val bucket =
       if (bits == 0) lit(0L)
       else graft.ops.Similarity.lshBucket(
@@ -66,10 +74,24 @@ object Models {
     val minority = df.filter(col(labelCol) === minLabel)
       .withColumn("__bkt", bucket.cast("long"))
       .withColumn("__rn", row_number().over(w))
-    val next = features.map(c => lead(col(c), 1).over(w).as(s"__n_$c")) :+
-      lead(col(idCol), 1).over(w).as("__n_id")
-    val paired = minority.select((minority.columns.map(col) ++ next).toIndexedSeq: _*)
-      .filter(col("__n_id").isNotNull)
+    // exact 1-NN within the bucket: bounded self-join + one struct-min
+    // aggregation; neighbor payload rides the struct so no second join
+    val bSide = minority.select(
+      (Seq(col("__bkt").as("__b_bkt"), col(idCol).as("__b_id")) ++
+        features.map(c => col(c).as(s"__b_$c"))).toIndexedSeq: _*)
+    val dist = features.map(c =>
+      (col(c).cast("double") - col(s"__b_$c").cast("double")) *
+        (col(c).cast("double") - col(s"__b_$c").cast("double"))).reduce(_ + _)
+    val nnStruct = struct(
+      (Seq(dist.as("d"), col("__b_id").as("i")) ++
+        features.map(c => col(s"__b_$c").as(s"__n_$c"))).toIndexedSeq: _*)
+    val aCols = minority.columns
+    val paired = minority
+      .join(bSide, col("__bkt") === col("__b_bkt") && col(idCol) =!= col("__b_id"))
+      .groupBy(aCols.map(col).toIndexedSeq: _*)
+      .agg(min(nnStruct).as("__nn"))
+      .select((aCols.map(col) ++
+        features.map(c => col(s"__nn.__n_$c").as(s"__n_$c"))).toIndexedSeq: _*)
     // Deterministic-by-construction selection (the round-2 `.limit(need)` let
     // partition visit order pick the survivors): a global pair rank from the
     // tiny per-bucket counts (≤ 2^bits + 1 rows to the driver), a round-robin

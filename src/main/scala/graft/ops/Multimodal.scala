@@ -12,11 +12,15 @@ import graft.gen.TranscriptGen
   * The Spark-side plumbing is real and tested: schema, conversation-hash
   * partitioning, batched per-partition processing (the JVM analog of
   * `mapInPandas` — rows are staged into fixed-size batches so a vectorized
-  * decoder amortizes per-call overhead), and deterministic output. The
-  * DECODER ITSELF IS A STUB: no image/audio codecs exist in this container,
-  * so `decodeBatch` derives features from the bytes deterministically. A real
-  * deployment swaps `decodeBatch` only — every other moving part (schema,
-  * batching, partitioning, null handling) stays.
+  * decoder amortizes per-call overhead), and deterministic output.
+  *
+  * Decoders: IMAGE decode/resize is REAL (JDK `javax.imageio`, PNG/BMP —
+  * no external codec dependency), AUDIO decode is REAL for WAV/PCM (JDK
+  * `javax.sound.sampled`); only VIDEO remains a documented stub (`
+  * decodeBatch`'s deterministic byte-fold) because the JDK ships no video
+  * codec and the container has none. A real deployment swaps `decodeBatch`
+  * only — every other moving part (schema, batching, partitioning, null
+  * handling) stays.
   */
 object Multimodal {
 
@@ -79,6 +83,189 @@ object Multimodal {
         withBytes.zip(feats).map { case (r, f) =>
           Row(r.getLong(0), f.toIndexedSeq)
         } ++ nullBytes.map(r => Row(r.getLong(0), null))
+      }
+    }(enc)
+  }
+
+  // ——— real JDK image path (round-3 verdict: javax.imageio is built in) ———
+
+  /** Deterministic synthetic PNG: seeded per-pixel RGB, encoded by the JDK
+    * PNG writer — REAL image bytes with no external data or codec. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (TranscriptGen.mix(seed ^ (y.toLong * width + x)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Vectorized REAL image decode: one `ImageIO.read` per payload, features =
+    * (width, height, per-channel means in row-major order — deterministic
+    * accumulation). Undecodable/corrupt bytes → None (never an exception:
+    * a 100 TB crawl always contains garbage rows). */
+  def decodeImageBatch(batch: Seq[Array[Byte]]): Seq[Option[(Int, Int, Array[Float])]] =
+    batch.map { bytes =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        (w, h, Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat))
+      }
+    }
+
+  /** Batched per-partition REAL image decode — same mapInPandas shape as
+    * [[extractFeatures]]: column-pruned input, `batchSize` rows staged per
+    * decoder call group, nulls and undecodable rows pass through as null
+    * features instead of failing the task. */
+  def decodeImages(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("sample_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channel_means", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.select(col("sample_id"), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val (withBytes, nullBytes) = rows.partition(!_.isNullAt(1))
+        val decoded = decodeImageBatch(withBytes.map(_.getAs[Array[Byte]](1)))
+        withBytes.zip(decoded).map {
+          case (r, Some((w, h, means))) => Row(r.getLong(0), w, h, means.toIndexedSeq)
+          case (r, None) => Row(r.getLong(0), null, null, null)
+        } ++ nullBytes.map(r => Row(r.getLong(0), null, null, null))
+      }
+    }(enc)
+  }
+
+  /** REAL resize: decode → nearest-neighbor scale to the [[resizePlan]]
+    * aspect-preserving dims → re-encode PNG. Nearest-neighbor keeps the
+    * pixel mapping integer-deterministic (bilinear would be too, but NN
+    * makes the spec's determinism assertion trivially auditable). Output:
+    * (sample_id, content PNG bytes, new_w, new_h); undecodable → null. */
+  def resizeImages(df: DataFrame, maxDim: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("sample_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("new_w", IntegerType, nullable = true),
+      StructField("new_h", IntegerType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.select(col("sample_id"), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val decoded =
+            if (r.isNullAt(1)) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+            catch { case _: java.io.IOException => None }
+          decoded match {
+            case Some(im) =>
+              val den = math.max(im.getWidth, im.getHeight)
+              val nw = math.max(1, im.getWidth * maxDim / den)
+              val nh = math.max(1, im.getHeight * maxDim / den)
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < nh) {
+                var x = 0
+                while (x < nw) { // nearest-neighbor: integer source index
+                  out.setRGB(x, y, im.getRGB(x * im.getWidth / nw, y * im.getHeight / nh))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(r.getLong(0), bos.toByteArray, nw, nh)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  // ——— real JDK audio path (WAV/PCM via javax.sound.sampled) ———
+
+  /** Deterministic synthetic 16-bit mono PCM WAV — real audio bytes. */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (TranscriptGen.mix(seed ^ i.toLong) & 0xffff).toInt - 32768
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL WAV decode: (sample_rate, n_frames, duration_ms, rms) per
+    * payload; non-WAV bytes → null row. Same batch shape as the image path. */
+  def decodeAudio(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("sample_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", IntegerType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    df.select(col("sample_id"), col("content")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val decoded =
+            if (r.isNullAt(1)) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val bytes = ais.readAllBytes()
+              var sum = 0.0
+              var i = 0
+              while (i + 1 < bytes.length) { // 16-bit little-endian mono
+                val s = ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort.toDouble
+                sum += s * s
+                i += 2
+              }
+              val n = bytes.length / 2
+              Some((fmt.getSampleRate.toInt, frames,
+                (frames * 1000 / fmt.getSampleRate.toLong).toInt,
+                if (n > 0) math.sqrt(sum / n) else 0.0))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          decoded match {
+            case Some((sr, fr, ms, rms)) => Row(r.getLong(0), sr, fr, ms, rms)
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
       }
     }(enc)
   }

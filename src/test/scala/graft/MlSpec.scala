@@ -42,6 +42,36 @@ class MlSpec extends SparkSpec {
       .foreach(v => assert(v >= minRows.min && v <= minRows.max))
   }
 
+  test("oversampler: every synthetic row is the midpoint of a row and its exact in-bucket 1-NN") {
+    val feats = Seq("x1", "x2", "noise")
+    val counts0 = data.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val minLabel = counts0.minBy(_._2)._1
+    // recompute the buckets with the SAME expression the oversampler uses
+    val bucketed = data.filter(col("y") === minLabel)
+      .withColumn("__bkt",
+        graft.ops.Similarity.lshBucket(
+          array(feats.map(c => col(c).cast("double")): _*), 4, seed = 42L).cast("long"))
+      .select((Seq(col("id"), col("__bkt")) ++ feats.map(col)).toIndexedSeq: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), feats.indices.map(i => r.getDouble(2 + i))))
+    // exact 1-NN per row within its bucket (ties -> lowest neighbor id)
+    val midpoints = bucketed.flatMap { case (id, bkt, f) =>
+      val cands = bucketed.filter(o => o._2 == bkt && o._1 != id)
+      if (cands.isEmpty) None
+      else {
+        val nn = cands.minBy(o =>
+          (o._3.zip(f).map { case (a, b) => (a - b) * (a - b) }.sum, o._1))
+        Some(f.zip(nn._3).map { case (a, b) => (a + b) / 2.0 }.toList)
+      }
+    }.toSet
+    val synth = Models.oversampleInterpolate(data, "id", "y", feats)
+      .filter(col("id") < 0)
+      .select(feats.map(col).toIndexedSeq: _*)
+      .collect().map(r => feats.indices.map(r.getDouble).toList)
+    assert(synth.nonEmpty)
+    synth.foreach(s => assert(midpoints.contains(s),
+      s"synthetic $s is not a (row, in-bucket exact 1-NN) midpoint"))
+  }
+
   test("oversampler: synthetic set is partitioning-invariant and balances exactly") {
     // the round-2 version selected survivors with an unordered .limit —
     // which rows survived depended on partition visit order
