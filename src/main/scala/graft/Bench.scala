@@ -37,20 +37,34 @@ object Bench {
     s
   }
 
-  /** PIT anchor-backfill throughput (turns/sec) over a generated table. */
-  def pitThroughput(spark: SparkSession, nConvs: Int, parts: Int): (Long, Double) = {
-    import graft.features.BehaviorBinding
-    // cache only the columns the pipeline reads — a real parquet scan would
-    // be column-pruned the same way (text/tool never reach this pipeline)
+  /** Generate + cache the TPS input once per JVM — generation is excluded
+    * from timing anyway, and at 70M turns it dominates per-rep wall-clock;
+    * reps measure the pipeline over the SAME cached table (what steady-state
+    * throughput means). Cache only the columns the pipeline reads — a real
+    * parquet scan would be column-pruned the same way (text/tool never reach
+    * this pipeline). */
+  def tpsInput(spark: SparkSession, nConvs: Int, parts: Int): (DataFrame, Long) = {
     val turns = gen.TranscriptGen.turns(spark, seed = 42L, nConvs = nConvs,
       megaConvs = 2, megaTurns = 20000, partitions = parts)
       .toDF().select("conv_id", "turn_idx", "role", "ts").cache()
-    val n = turns.count() // materialize the cache; generation excluded from timing
+    (turns, turns.count())
+  }
+
+  /** One timed rep of the flagship PIT anchor backfill over a cached table. */
+  def pitRep(turns: DataFrame, n: Long): Double = {
+    import graft.features.BehaviorBinding
     val binding = BehaviorBinding("user", "assistant", "system", "tool")
     val sec = time(exec(
       PitPipeline.anchorFeatures(turns, TranscriptCols.turns, Turn.roles, binding, 3600L)))
+    n / sec
+  }
+
+  /** PIT anchor-backfill throughput (turns/sec) over a generated table. */
+  def pitThroughput(spark: SparkSession, nConvs: Int, parts: Int): (Long, Double) = {
+    val (turns, n) = tpsInput(spark, nConvs, parts)
+    val tps = pitRep(turns, n)
     turns.unpersist()
-    (n, n / sec)
+    (n, tps)
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,18 +82,20 @@ object Bench {
       Bench.pitThroughput(spark, nConvs = 20000, parts = cpus.toInt)
       Bench.pitThroughput(spark, nConvs = 20000, parts = cpus.toInt)
       // adaptive steady state: keep measuring while throughput still improves
-      // >10% over the best so far (JIT/codegen/GC warm-up length varies)
-      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      // >10% over the best so far (JIT/codegen/GC warm-up length varies).
+      // The input generates ONCE — reps re-run only the measured pipeline.
+      val (turns, n) = tpsInput(spark, convs, cpus.toInt * 2)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var continue = true
       while (continue && runs.size < maxReps) {
-        val r = pitThroughput(spark, convs, cpus.toInt * 2)
-        val prevBest = if (runs.isEmpty) 0.0 else runs.map(_._2).max
+        val r = pitRep(turns, n)
+        val prevBest = if (runs.isEmpty) 0.0 else runs.max
         runs += r
-        continue = runs.size < minReps || r._2 > prevBest * 1.10
+        continue = runs.size < minReps || r > prevBest * 1.10
       }
-      val n = runs.head._1
-      val best = runs.map(_._2).max
-      val all = runs.map(_._2).mkString("[", ",", "]")
+      turns.unpersist()
+      val best = runs.max
+      val all = runs.mkString("[", ",", "]")
       println(s"""{"metric":"turns_per_sec","value":$best,"all":$all,"turns":$n,"cpus":$cpus}""")
       spark.stop()
       return
@@ -106,17 +122,18 @@ object Bench {
     // first few TPS reps routinely read 2-3× low.
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
     val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val (turns, nTurns) = tpsInput(spark, convs, cpus.toInt * 2)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var continue = true
     while (continue && runs.size < math.max(minReps, 8)) {
-      val r = pitThroughput(spark, nConvs = convs, parts = cpus.toInt * 2)
-      val prevBest = if (runs.isEmpty) 0.0 else runs.map(_._2).max
+      val r = pitRep(turns, nTurns)
+      val prevBest = if (runs.isEmpty) 0.0 else runs.max
       runs += r
-      continue = runs.size < minReps || r._2 > prevBest * 1.10
+      continue = runs.size < minReps || r > prevBest * 1.10
     }
-    val nTurns = runs.head._1
-    val tps = runs.map(_._2).max
-    val tpsMedian = runs.map(_._2).sorted.apply(runs.size / 2)
+    turns.unpersist()
+    val tps = runs.max
+    val tpsMedian = runs.sorted.apply(runs.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
     val qs1 = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum

@@ -180,10 +180,20 @@ object Dedup {
     * Deterministic: min is order-independent. Fails fast (require) if
     * `maxIter` rounds don't converge rather than returning partial labels.
     *
+    * Rounds: one-hop min propagation needs DIAMETER rounds — right for the
+    * near-star graphs dedup produces (2-3), wrong for adversarial chains.
+    * `shortcut = true` adds pointer doubling (`lab ← lab[lab[x]]`, one extra
+    * keyed self-join per round), which converges in O(log diameter) rounds:
+    * labels only decrease and every label is a same-component node id, so
+    * the shortcut preserves the invariant and no-ops exactly at the
+    * fixpoint. Default OFF: the extra join costs more than it saves on
+    * star-like dedup graphs; turn it on for general graph clustering.
+    *
     * Returns (idCol, cluster_id) for EVERY node; cluster_id = min id in the
     * component, so a row is its cluster's survivor iff id == cluster_id. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
-                          maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+                          maxIter: Int = 20, reliable: Boolean = false,
+                          shortcut: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
     val sc = spark.sparkContext
     if (reliable) require(sc.getCheckpointDir.isDefined,
@@ -223,10 +233,24 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neigh = sym.join(labels, col("a") === col("__node"))
         .groupBy(col("b")).agg(min(col("__lab")).as("__nlab"))
-      val stepped = labels.join(neigh, labels("__node") === neigh("b"), "left")
-        .select(col("__node"),
-          least(col("__lab"), coalesce(col("__nlab"), col("__lab"))).as("__lab"),
-          (coalesce(col("__nlab"), col("__lab")) < col("__lab")).as("__chg"))
+      val onehop = labels.join(neigh, labels("__node") === neigh("b"), "left")
+        .select(col("__node").as("__n1"),
+          least(col("__lab"), coalesce(col("__nlab"), col("__lab"))).as("__l1"),
+          col("__lab").as("__l0"))
+      val stepped =
+        if (!shortcut)
+          onehop.select(col("__n1").as("__node"), col("__l1").as("__lab"),
+            (col("__l1") < col("__l0")).as("__chg"))
+        else {
+          // pointer doubling: re-read the label OF my new label from the
+          // same one-hop table (lab[x] is always a node id, so the inner
+          // lookup hits; left join + coalesce only guards the self row)
+          val byNode = onehop.select(col("__n1").as("__n2"), col("__l1").as("__l2"))
+          onehop.join(byNode, col("__l1") === col("__n2"), "left")
+            .select(col("__n1").as("__node"),
+              least(col("__l1"), coalesce(col("__l2"), col("__l1"))).as("__lab"),
+              (least(col("__l1"), coalesce(col("__l2"), col("__l1"))) < col("__l0")).as("__chg"))
+        }
       val (rdd, chg, df) = materialize(stepped, chgIdx = 2)
       changed = chg
       labRdd.unpersist(blocking = false) // superseded round: free its blocks now

@@ -243,6 +243,20 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("connectedComponents shortcut: O(log d) rounds on a chain, same fixpoint") {
+    // a 64-node chain has diameter 63: one-hop propagation cannot finish in
+    // 10 rounds, pointer doubling must (ceil(log2) + margin)
+    val n = 64
+    val nodesDf = (0L until n.toLong).toDF("doc_id")
+    val edgesDf = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", maxIter = 10)
+    }
+    val got = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", maxIter = 10,
+      shortcut = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.toSet == Set(0L))
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     // CosineSim reads ArrayData.getFloat — an array<double> embedding column
     // must be an analysis error, not silently-garbage similarities

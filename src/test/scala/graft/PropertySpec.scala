@@ -169,6 +169,10 @@ class PropertySpec extends SparkSpec {
       val got = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"edges=$edges")
+      // the pointer-doubling variant reaches the same fixpoint
+      val gotSc = Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", shortcut = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotSc == expected, s"shortcut mismatch: edges=$edges")
     }
   }
 }
