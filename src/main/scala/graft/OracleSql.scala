@@ -191,9 +191,10 @@ object OracleSql {
       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events GROUP BY user_id, date_trunc('hour', ts)""".stripMargin
 
-  /** Composite document-quality gate (mirrors TextAnalysis.qualityFiltered:
+  /** Quality-gate CTE chain (t → s → scored) over `src` — shared by
+    * qDocQuality and qCorpusCuration (mirrors TextAnalysis.qualityFiltered:
     * integer-exact rule stack, cross-multiplied ratio bounds). */
-  val qDocQuality: String = {
+  private def qualityCtes(src: String): String = {
     val markers = graft.ops.TextAnalysis.LangMarkers
     val scores = markers.map { case (l, ws) =>
       s"len(list_filter(tk, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
@@ -203,8 +204,8 @@ object OracleSql {
       s"WHEN s_$l = $greatestS AND s_$l > 0 THEN '$l'"
     }.mkString("\n      ")
     val stop = graft.ops.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
        |),
        |s AS (
        |  SELECT doc_id,
@@ -219,10 +220,14 @@ object OracleSql {
        |     + CASE WHEN n_stop * 100 >= n_tokens AND n_stop * 10 <= n_tokens * 6 THEN 1 ELSE 0 END
        |     + CASE WHEN (CASE $langCases ELSE 'und' END) = 'en' THEN 1 ELSE 0 END) AS quality_score
        |  FROM s
-       |)
+       |)""".stripMargin
+  }
+
+  /** Composite document-quality gate. */
+  val qDocQuality: String =
+    s"""WITH ${qualityCtes("documents")}
        |SELECT doc_id, CAST(quality_score AS INTEGER) AS quality_score, n_tokens
        |FROM scored WHERE quality_score >= 2""".stripMargin
-  }
 
   /** Opaque-binary metadata over utf-8 blobs (mirrors q_binary_meta). */
   val qBinaryMeta: String =
@@ -454,10 +459,10 @@ object OracleSql {
     * representative is banded into 4 bands of 3 and bucket-joined, skipping
     * buckets over Dedup.DefaultMaxBucket members. Produces
     * `pairs(id_a, id_b)`. */
-  private val lshPairsCte: String =
+  private def lshPairsCteFrom(src: String): String =
     s"""wr AS (
        |  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS rep
-       |  FROM documents WHERE text IS NOT NULL
+       |  FROM $src WHERE text IS NOT NULL
        |),
        |exact_edges AS (SELECT rep AS id_a, doc_id AS id_b FROM wr WHERE doc_id <> rep),
        |reps AS (SELECT doc_id, text FROM wr WHERE doc_id = rep),
@@ -483,6 +488,8 @@ object OracleSql {
        |    SELECT id_a, id_b FROM exact_edges
        |  ) u
        |)""".stripMargin
+
+  private val lshPairsCte: String = lshPairsCteFrom("documents")
 
   val qLshPairs: String = s"WITH $lshPairsCte\nSELECT id_a, id_b FROM pairs"
 
@@ -525,6 +532,48 @@ object OracleSql {
        |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
        |)
        |SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin
+
+  /** Terminal corpus curation (mirrors ops.Curation.curate, nShards = 8):
+    * quality gate → LSH+Jaccard dedup among the CLEAN set → component
+    * closure → one survivor per component with its component size and a
+    * portable integer shard hash. Stage order matches the engine exactly
+    * (dedup sees only quality-passing docs), so survivors/sizes agree. */
+  val qCorpusCuration: String =
+    s"""WITH RECURSIVE ${qualityCtes("documents")},
+       |clean AS (
+       |  SELECT d.doc_id, d.text,
+       |    CAST(sc.quality_score AS INTEGER) AS quality_score, sc.n_tokens
+       |  FROM documents d JOIN scored sc USING (doc_id)
+       |  WHERE sc.quality_score >= 2
+       |),
+       |${lshPairsCteFrom("clean")},
+       |g AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS gr FROM clean),
+       |verified AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p
+       |  JOIN g ga ON ga.doc_id = p.id_a
+       |  JOIN g gb ON gb.doc_id = p.id_b
+       |  WHERE CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ga.gr, gb.gr))) AS DOUBLE) >= 0.6
+       |),
+       |symc AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION
+       |  SELECT id_b AS a, id_a AS b FROM verified
+       |),
+       |reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM clean
+       |  UNION
+       |  SELECT s2.b, r.lab FROM reach r JOIN symc s2 ON s2.a = r.node
+       |),
+       |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS n_dups FROM cl GROUP BY cluster_id)
+       |SELECT c.doc_id, c.quality_score, c.n_tokens, z.n_dups,
+       |  CAST(mod(CAST(c.doc_id AS BIGINT) * 2654435761, 8) AS INTEGER) AS shard
+       |FROM cl
+       |JOIN clean c USING (doc_id)
+       |JOIN sizes z ON cl.cluster_id = z.cluster_id
+       |WHERE cl.doc_id = cl.cluster_id""".stripMargin
 
   /** Degree-2 interaction-only polynomial features over the entity stats
     * (PolynomialFeatures interaction_only, `LR_Advanced.py:511-528`) —

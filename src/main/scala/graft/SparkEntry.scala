@@ -266,6 +266,11 @@ object SparkEntry {
     "q_doc_quality" -> ((s, dir) =>
       TextAnalysis.qualityFiltered(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("quality_score"), col("n_tokens"))),
+    "q_corpus_curation" -> ((s, dir) =>
+      // the composed terminal deliverable: quality gate -> dedup among the
+      // clean set -> one survivor per component + deterministic shard
+      Curation.curate(Pipelines.table(s, dir, "documents"), "doc_id", "text",
+        nShards = 8)),
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
@@ -362,6 +367,7 @@ object SparkEntry {
     "q_ann_lsh" -> OracleSql.qAnnLsh,
     "q_ann_ivf" -> OracleSql.qAnnIvf,
     "q_embed_similar" -> OracleSql.qEmbedSimilar,
-    "q_feature_importance" -> OracleSql.qFeatureImportance
+    "q_feature_importance" -> OracleSql.qFeatureImportance,
+    "q_corpus_curation" -> OracleSql.qCorpusCuration
   )
 }

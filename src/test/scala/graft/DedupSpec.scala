@@ -243,6 +243,34 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("corpus curation: quality gate before dedup, survivors + component sizes + shards") {
+    // en1a/en1b: exact dups (both pass quality); en2: near-dup of en1a (one
+    // token changed, jaccard 9/11 > 0.6); bad_short fails the token gate;
+    // es fails the language gate; en3: clean singleton
+    val base = "the cat and the dog walked to a small house"
+    val docs = Seq(
+      (10L, base),
+      (11L, base),
+      (12L, "the cat and the dog walked to a small barn"),
+      (13L, "short"),
+      (14L, "el gato y el perro de la casa que ladra mucho y"),
+      (20L, "the quick brown fox jumps over a lazy sleeping dog today")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.curate(docs, "doc_id", "text", nShards = 8,
+      shingleK = 1, numHashes = 12, bands = 6)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // survivors: 10 (component {10,11,12}) and 20 (singleton); 13/14 gated out
+    assert(got.keySet == Set(10L, 20L), s"wrong survivors: $got")
+    assert(got(10L)._3 == 3L, s"component size wrong: ${got(10L)}")
+    assert(got(20L)._3 == 1L)
+    // shard = pmod(id * 2654435761, 8), portable integer arithmetic
+    assert(got(10L)._4 == java.lang.Math.floorMod(10L * 2654435761L, 8L).toInt)
+    assert(got(20L)._4 == java.lang.Math.floorMod(20L * 2654435761L, 8L).toInt)
+    // quality metadata rides through
+    assert(got(10L)._1 >= 2 && got(10L)._2 == 10)
+  }
+
   test("connectedComponents shortcut: O(log d) rounds on a chain, same fixpoint") {
     // a 64-node chain has diameter 63: one-hop propagation cannot finish in
     // 10 rounds, pointer doubling must (ceil(log2) + margin)
