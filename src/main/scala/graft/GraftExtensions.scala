@@ -2,35 +2,65 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.TokHash
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
 
-/** SparkSessionExtensions entry point — makes the engine's native functions
-  * available to plain SQL users:
+/** SparkSessionExtensions entry point — makes the engine's native
+  * expression family available to plain SQL users (the "switch from the
+  * reference without learning a new API" story):
   *
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
-  *   spark.sql("SELECT tok_hash(text) FROM docs")
+  *   spark.sql("SELECT tok_hash(text), simhash32(text) FROM docs")
+  *   spark.sql("SELECT cosine_sim(a.emb, b.emb) FROM ...")
+  *   spark.sql("SELECT minhash_sig(text, 3, 12) FROM docs")
   *
+  * plus the native as-of join operator (logical node → physical merge exec).
   * For an already-built session (tests, notebooks) use
   * [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.tokHashDescriptor)
+    GraftFunctions.descriptors.foreach(e.injectFunction)
     // the native as-of join operator (logical node -> physical merge exec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
 
 object GraftFunctions {
-  private[graft] val tokHashDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("tok_hash"),
-    new ExpressionInfo(classOf[TokHash].getName, "tok_hash"),
-    (exprs: Seq[Expression]) => TokHash(exprs.head))
+
+  /** Literal-int argument of a SQL call (e.g. `minhash_sig(text, 3, 12)`);
+    * analysis-time error otherwise — the shingle/hash counts shape the
+    * expression tree, so they cannot be data-dependent. */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be an integer literal, got $e")
+  }
+
+  private def d(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+
+  /** The whole registrable native family. Marker/stopword-parameterized
+    * expressions (lang_id, token_set_count) bind the engine's default
+    * profiles — the Column API takes custom profiles. */
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    d("tok_hash", exprs => TokHash(exprs.head)),
+    d("token_count", exprs => TokenCount(exprs.head)),
+    d("simhash32", exprs => SimHash32(exprs.head)),
+    d("doc_fingerprint", exprs => DocFingerprint(exprs.head)),
+    d("cosine_sim", exprs => CosineSim(exprs(0), exprs(1))),
+    d("minhash_sig", exprs => MinHashSig(exprs(0),
+      litInt(exprs(1), "minhash_sig", "shingleK"),
+      litInt(exprs(2), "minhash_sig", "numHashes"))),
+    d("lang_id", exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
+    d("stopword_count", exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tok_hash", exprs => TokHash(exprs.head), "scala_udf")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

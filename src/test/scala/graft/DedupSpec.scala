@@ -119,6 +119,41 @@ class DedupSpec extends SparkSpec {
     assert(viaSql == expected)
   }
 
+  test("full native family registered for SQL; literal-arg validation") {
+    GraftFunctions.register(spark)
+    docs.limit(3).createOrReplaceTempView("__docs_sqlfn")
+    val row = spark.sql(
+      """SELECT doc_id, simhash32(text) AS sh, doc_fingerprint(text) AS fp,
+        |  token_count(text) AS tc, stopword_count(text) AS sc,
+        |  lang_id(text) AS lg, minhash_sig(text, 3, 12) AS ms
+        |FROM __docs_sqlfn""".stripMargin).collect()
+    assert(row.length == 3)
+    // SQL results match the Column API on the same rows
+    val viaCol = docs.limit(3).select(col("doc_id"),
+      Dedup.simHash(col("text")).as("sh"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    row.foreach(r => assert(viaCol(r.getLong(0)) == ((r.getLong(1), r.getLong(2)))))
+    // cosine_sim via SQL
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").collect()(0).getDouble(0)
+    assert(cs == 1.0)
+    // non-literal shingle count is an analysis-time error, not silent garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(text, CAST(doc_id AS INT), 12) FROM __docs_sqlfn").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+    // the spark.sql.extensions class path (what spark-submit --conf uses)
+    // wires the same family into a fresh session's registry
+    val ext = new graft.GraftExtensions()
+    val se = new org.apache.spark.sql.SparkSessionExtensions()
+    ext(se) // must not throw; descriptors resolvable
+    assert(GraftFunctions.descriptors.map(_._1.funcName).toSet ==
+      Set("tok_hash", "token_count", "simhash32", "doc_fingerprint",
+        "cosine_sim", "minhash_sig", "lang_id", "stopword_count"))
+  }
+
   test("native text expressions ≡ HOF reference forms, incl. edge cases") {
     val edge = Seq((10L, ""), (11L, " "), (12L, "a"), (13L, "a  b"),
       (14L, "the the the le le la"), (15L, "x y z w v u t s r q")).toDF("doc_id", "text")
