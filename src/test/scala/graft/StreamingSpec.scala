@@ -134,6 +134,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streaming=$streamed batch=$batch")
   }
 
+  test("streaming curation ≡ batch quality-gate + exact-dedup composition") {
+    val dir = Files.createTempDirectory("graft-stream5").toString
+    val docs = Seq(
+      (0L, "the cat and the dog walked to a small house", "2024-01-01 00:00:00"),
+      (1L, "the cat and the dog walked to a small house", "2024-01-01 00:00:10"), // exact dup
+      (2L, "short", "2024-01-01 00:00:20"),                                       // fails gate
+      (3L, "el gato y el perro de la casa que ladra mucho", "2024-01-01 00:00:30"), // non-en
+      (4L, "the quick brown fox jumps over a lazy sleeping dog", "2024-01-01 00:01:00")
+    ).toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val q = graft.streaming.StreamingCuration
+      .curate(stream, "text", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("curation_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("curation_stream")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // batch composition on the same data: gate first, then exact dedup
+    val batch = graft.ops.Dedup.exact(
+      graft.ops.TextAnalysis.qualityFiltered(docs, "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.keySet == batch, s"streaming=${streamed.keySet} batch=$batch")
+    assert(streamed.keySet == Set(0L, 4L))
+    assert(streamed.values.forall(_ >= 2), "gate metadata must ride through")
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches batch session ids") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val turns = TranscriptGen.turns(spark, seed = 52L, nConvs = 10)
