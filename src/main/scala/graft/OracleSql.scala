@@ -915,6 +915,20 @@ object OracleSql {
        |FROM assigned a JOIN probes p ON a.list_id = p.probe, q
        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin
 
+  /** Per-query batch top-k (mirrors Similarity.bruteForceTopKBatch, queries
+    * = vec_id 0-2, k = 5): the oracle ranks with a qid-partitioned
+    * ROW_NUMBER — same (cos desc, id asc) tie rule as the engine's
+    * two-phase struct sort. */
+  val qAnnBatch: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |s AS (
+       |  SELECT q.qid, e.vec_id, ${sqlCosine("e.embedding", "q.qe")} AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2)
+       |),
+       |r AS (SELECT qid, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+       |SELECT qid, CAST(rk AS INTEGER) AS "rank", vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

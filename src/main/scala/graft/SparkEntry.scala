@@ -296,6 +296,16 @@ object SparkEntry {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         queryDf = emb.filter(col("vec_id") === 0), k = 10, nlist = 16, nprobe = 4)
     }),
+    "q_ann_batch" -> ((s, dir) => {
+      // per-query top-k for a query BATCH (two-phase local/global rank —
+      // no per-query global window funnel)
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.bruteForceTopKBatch(
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        qidCol = "qid", k = 5)
+    }),
 
     // — model-artifact export, now VALUE-oracled: QuantLR's quantized-GD
     //   trainer produces bit-identical coefficients in Spark and DuckDB
@@ -368,6 +378,7 @@ object SparkEntry {
     "q_ann_ivf" -> OracleSql.qAnnIvf,
     "q_embed_similar" -> OracleSql.qEmbedSimilar,
     "q_feature_importance" -> OracleSql.qFeatureImportance,
-    "q_corpus_curation" -> OracleSql.qCorpusCuration
+    "q_corpus_curation" -> OracleSql.qCorpusCuration,
+    "q_ann_batch" -> OracleSql.qAnnBatch
   )
 }

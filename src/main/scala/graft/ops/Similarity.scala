@@ -77,6 +77,27 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** PER-QUERY top-k for a BATCH of query vectors — the multi-query shape
+    * [[bruteForceTopK]]/[[ivfTopK]]/[[lshTopK]] deliberately don't blend
+    * (their contract is one query row). Score corpus × broadcast(queries)
+    * map-only, then ONE keyed aggregation with the native bounded-heap
+    * [[graft.functions.CosTopK]] aggregate: O(k) state per buffer,
+    * partial-aggregated, so each map task ships at most k entries per query
+    * across the one shuffle. (A `row_number().over(partitionBy(qid))`
+    * window would move all N corpus rows of each query onto one task.)
+    * Ties break (cos desc, id asc) — the ROW_NUMBER oracle's order. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, embCol: String,
+                          queryDf: DataFrame, qidCol: String, k: Int): DataFrame = {
+    val q = queryDf.select(col(qidCol).as("__qid"), col(embCol).as("__q"))
+    df.join(broadcast(q))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.CosTopK.cos_topk(
+        cosine(col(embCol), col("__q")), col(idCol).cast("long"), k).as("__top"))
+      .select(col("__qid").as(qidCol), posexplode(col("__top")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as(idCol), col("col.c").as("cos_sim"))
+  }
+
   /** Random-hyperplane (SimHash-style) signature for LSH bucketing: `bits`
     * pseudo-hyperplanes derived from a seeded deterministic weight pattern;
     * bucket id packs the sign bits. Same-bucket vectors are cosine-close with

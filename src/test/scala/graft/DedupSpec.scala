@@ -397,6 +397,56 @@ class DedupSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("batch topk: per-query results equal single-query brute force, partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .bruteForceTopKBatch(df, "vec_id", "embedding", queries, "qid", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = run(corpus)
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") === qid), 5)
+        .collect().zipWithIndex.map { case (r, i) => (qid, i + 1) -> (r.getLong(0), r.getDouble(1)) }
+      single.foreach { case (key, v) => assert(batch(key) == v, s"mismatch at $key") }
+    }
+    assert(batch.size == 15)
+    // the (score, -id) total order makes the kept set merge-order-invariant
+    assert(run(corpus.repartition(13)) == batch)
+    // scale shape: ONE keyed aggregation, partial-aggregated (map side ships
+    // at most k entries per query) — no window, no collect_list
+    val plan = Similarity
+      .bruteForceTopKBatch(corpus.repartition(4), "vec_id", "embedding", queries, "qid", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_costopk"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("collect_list"))
+  }
+
+  test("CosTopK heap: eviction, ties to lowest id, serde round-trip") {
+    val b = new graft.functions.CosTopK.Buffer(3)
+    Seq((0.5, 10L), (0.9, 3L), (0.1, 7L), (0.9, 2L), (0.7, 5L), (0.1, 1L))
+      .foreach { case (c, i) => b.insert(c, i) }
+    val agg = graft.functions.CosTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 3)
+    def entries(buf: graft.functions.CosTopK.Buffer) =
+      (0 until buf.size).map(j => (buf.cs(j), buf.ids(j))).toSet
+    // kept: 0.9@2, 0.9@3, 0.7@5 (0.9 ties keep BOTH; 0.5/0.1s evicted)
+    assert(entries(b) == Set((0.9, 2L), (0.9, 3L), (0.7, 5L)))
+    // serde round-trip preserves the kept set
+    assert(entries(agg.deserialize(agg.serialize(b))) == entries(b))
+    // eval order: score desc, id asc
+    val out = agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = (0 until out.numElements()).map { j =>
+      val r = out.getStruct(j, 2); (r.getDouble(0), r.getLong(1))
+    }
+    assert(rows == Seq((0.9, 2L), (0.9, 3L), (0.7, 5L)))
+  }
+
   test("lsh topk agrees with brute force on the shared candidates") {
     val rnd = new scala.util.Random(5)
     val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")

@@ -123,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_confusion" -> pct, "q_binary_metrics" -> pct, "q_calibration" -> pct,
       "q_threshold_scan" -> pct, "q_impute" -> pct,
       "q_auc_pr" -> ("final collect_list/sort/fold over the distinct-score table " +
-        "(bounded by averagePrecision's auto-quantize guard)")
+        "(bounded by averagePrecision's auto-quantize guard)"),
+      "q_ann_batch" -> ("native CosTopK bounded-heap aggregate — O(k) state per " +
+        "buffer, partial-aggregated (TypedImperativeAggregate is CodegenFallback " +
+        "by construction, like Percentile)")
     )
     def fallbacks(df: DataFrame): Seq[String] =
       df.queryExecution.sparkPlan.flatMap(p => p.expressions.flatMap(e =>
