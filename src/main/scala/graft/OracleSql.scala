@@ -929,6 +929,57 @@ object OracleSql {
        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
        |SELECT qid, CAST(rk AS INTEGER) AS "rank", vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin
 
+  /** Batch IVF top-k (mirrors Similarity.ivfTopKBatch, queries = vec_id
+    * 0-2, k = 5, nlist = 16, nprobe = 4): shared centroid sample +
+    * struct-max assignment as qAnnIvf; per-query probe selection and the
+    * final top-k rank with qid-partitioned ROW_NUMBERs. */
+  val qAnnIvfBatch: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM base
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16
+       |),
+       |assigned AS (
+       |  SELECT b.vec_id,
+       |    (max(struct_pack(c := ${sqlCosine("b.embedding", "c.cemb")},
+       |                     n := -c.cid, i := c.cid))).i AS list_id,
+       |    first(b.embedding) AS embedding
+       |  FROM base b, cents c GROUP BY b.vec_id
+       |),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |pc AS (
+       |  SELECT q.qid, c.cid, ${sqlCosine("q.qe", "c.cemb")} AS qc
+       |  FROM q, cents c
+       |),
+       |pr AS (
+       |  SELECT qid, cid AS probe FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qc DESC, cid) AS rk
+       |    FROM pc) WHERE rk <= 4
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id, ${sqlCosine("a.embedding", "q.qe")} AS cos_sim
+       |  FROM assigned a JOIN pr p ON a.list_id = p.probe JOIN q ON q.qid = p.qid
+       |),
+       |r AS (SELECT qid, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+       |SELECT qid, CAST(rk AS INTEGER) AS "rank", vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin
+
+  /** Batch LSH top-k (mirrors Similarity.lshTopKBatch, bits = 4, seed = 42,
+    * k = 5): per-query bucket equi-join + qid-partitioned rank. */
+  val qAnnLshBatch: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe, ${sqlLshBucket("embedding", 4, 42L)} AS qb
+       |  FROM embeddings WHERE vec_id < 3
+       |),
+       |cand AS (
+       |  SELECT q.qid, e.vec_id, ${sqlCosine("e.embedding", "q.qe")} AS cos_sim
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id >= 3 AND ${sqlLshBucket("e.embedding", 4, 42L)} = q.qb
+       |),
+       |r AS (SELECT qid, vec_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+       |SELECT qid, CAST(rk AS INTEGER) AS "rank", vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin
+
   /** Brute-force cosine top-k over embeddings vs vec_id 0 (deterministic
     * left-to-right double folds in both engines). */
   val qSimilarityTopk: String =

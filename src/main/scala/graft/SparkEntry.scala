@@ -297,14 +297,29 @@ object SparkEntry {
         queryDf = emb.filter(col("vec_id") === 0), k = 10, nlist = 16, nprobe = 4)
     }),
     "q_ann_batch" -> ((s, dir) => {
-      // per-query top-k for a query BATCH (two-phase local/global rank —
-      // no per-query global window funnel)
+      // per-query top-k for a query BATCH via the bounded-heap aggregate
       val emb = Pipelines.table(s, dir, "embeddings")
       Similarity.bruteForceTopKBatch(
         emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
         queryDf = emb.filter(col("vec_id") < 3)
           .select(col("vec_id").as("qid"), col("embedding")),
         qidCol = "qid", k = 5)
+    }),
+    "q_ann_ivf_batch" -> ((s, dir) => {
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.ivfTopKBatch(
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        qidCol = "qid", k = 5, nlist = 16, nprobe = 4)
+    }),
+    "q_ann_lsh_batch" -> ((s, dir) => {
+      val emb = Pipelines.table(s, dir, "embeddings")
+      Similarity.lshTopKBatch(
+        emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+        queryDf = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        qidCol = "qid", k = 5, bits = 4, seed = 42L)
     }),
 
     // — model-artifact export, now VALUE-oracled: QuantLR's quantized-GD
@@ -379,6 +394,8 @@ object SparkEntry {
     "q_embed_similar" -> OracleSql.qEmbedSimilar,
     "q_feature_importance" -> OracleSql.qFeatureImportance,
     "q_corpus_curation" -> OracleSql.qCorpusCuration,
-    "q_ann_batch" -> OracleSql.qAnnBatch
+    "q_ann_batch" -> OracleSql.qAnnBatch,
+    "q_ann_ivf_batch" -> OracleSql.qAnnIvfBatch,
+    "q_ann_lsh_batch" -> OracleSql.qAnnLshBatch
   )
 }

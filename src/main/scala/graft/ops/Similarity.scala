@@ -98,6 +98,67 @@ object Similarity {
         col("col.i").as(idCol), col("col.c").as("cos_sim"))
   }
 
+  /** Shared batch-top-k tail: bounded-heap aggregate per query id, then
+    * explode to (qid, rank, id, cos_sim). */
+  private def topKPerQuery(cand: DataFrame, idCol: String, qidCol: String,
+                           k: Int): DataFrame =
+    cand.groupBy(col("__qid"))
+      .agg(graft.functions.CosTopK.cos_topk(
+        cosine(col("__emb"), col("__q")), col(idCol).cast("long"), k).as("__top"))
+      .select(col("__qid").as(qidCol), posexplode(col("__top")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as(idCol), col("col.c").as("cos_sim"))
+
+  /** Batch IVF top-k: the corpus is assigned ONCE via the codegen'd
+    * [[graft.functions.CosineArgMax]] projection; per-query probe lists are
+    * computed driver-side from the collected centroid set (|Q|·nlist
+    * bit-exact cosines — bounded by `maxQueries`); probed candidates reduce
+    * through the bounded-heap CosTopK aggregate (one shuffle, ≤ k entries
+    * per query per map task). Candidate work is Σ_q |probed lists(q)| —
+    * exactly the IVF read amplification, O(N·nprobe/nlist) per query when
+    * the table is list-partitioned at ingest. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
+                   qidCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                   maxQueries: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRows = df
+      .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+    val cents = centRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val qRows = queryDf.select(col(qidCol).cast("long"), col(embCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"ivfTopKBatch computes probe lists driver-side for at most $maxQueries queries")
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray
+      cents.map { case (cid, ce) => (graft.functions.CosineSim.cosine(qv, ce), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(nprobe)
+        .map(p => (r.getLong(0), p._2))
+    }.toSeq.toDF("__pqid", "__probe")
+    val q = queryDf.select(col(qidCol).cast("long").as("__qid"), col(embCol).as("__q"))
+    val cand = df
+      .withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
+      .join(broadcast(probes), col("__list") === col("__probe"))
+      .join(broadcast(q), col("__pqid") === col("__qid"))
+      .withColumn("__emb", col(embCol))
+    topKPerQuery(cand, idCol, qidCol, k)
+  }
+
+  /** Batch LSH top-k: bucket equi-join against the broadcast query set,
+    * bounded-heap reduce per query. O(N/2^bits) candidates per query when
+    * the table is written bucketed by the signature. */
+  def lshTopKBatch(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
+                   qidCol: String, k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val q = queryDf.select(col(qidCol).cast("long").as("__qid"), col(embCol).as("__q"),
+      lshBucket(col(embCol), bits, seed).as("__qb"))
+    val cand = df.withColumn("__b", lshBucket(col(embCol), bits, seed))
+      .join(broadcast(q), col("__b") === col("__qb"))
+      .withColumn("__emb", col(embCol))
+    topKPerQuery(cand, idCol, qidCol, k)
+  }
+
   /** Random-hyperplane (SimHash-style) signature for LSH bucketing: `bits`
     * pseudo-hyperplanes derived from a seeded deterministic weight pattern;
     * bucket id packs the sign bits. Same-bucket vectors are cosine-close with

@@ -426,6 +426,46 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("collect_list"))
   }
 
+  test("batch ivf/lsh topk agree with their single-query operators per query") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // full probe (nprobe = nlist) degenerates to exact per-query brute force
+    val ivfFull = Similarity.ivfTopKBatch(corpus, "vec_id", "embedding", queries, "qid",
+      k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") === qid), 5)
+        .collect().zipWithIndex.map { case (r, i) => (qid, i + 1) -> (r.getLong(0), r.getDouble(1)) }
+      single.foreach { case (key, v) => assert(ivfFull(key) == v, s"ivf mismatch at $key") }
+    }
+    // partial probe returns a subset with brute-force-equal scores
+    val ivfPart = Similarity.ivfTopKBatch(corpus, "vec_id", "embedding", queries, "qid",
+      k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(ivfPart.nonEmpty)
+    // lsh batch ≡ single-query lshTopK per query
+    val lshBatch = Similarity.lshTopKBatch(corpus, "vec_id", "embedding", queries, "qid",
+      k = 5, bits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.lshTopK(corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") === qid), 5, bits = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(lshBatch.getOrElse(qid, Set.empty) == single, s"lsh mismatch at $qid")
+    }
+    // driver-side probe guard
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKBatch(corpus, "vec_id", "embedding", queries, "qid",
+        k = 5, maxQueries = 2)
+    }
+  }
+
   test("CosTopK heap: eviction, ties to lowest id, serde round-trip") {
     val b = new graft.functions.CosTopK.Buffer(3)
     Seq((0.5, 10L), (0.9, 3L), (0.1, 7L), (0.9, 2L), (0.7, 5L), (0.1, 1L))

@@ -126,7 +126,10 @@ class PlanAuditSpec extends SparkSpec {
         "(bounded by averagePrecision's auto-quantize guard)"),
       "q_ann_batch" -> ("native CosTopK bounded-heap aggregate — O(k) state per " +
         "buffer, partial-aggregated (TypedImperativeAggregate is CodegenFallback " +
-        "by construction, like Percentile)")
+        "by construction, like Percentile)"),
+      "q_ann_ivf_batch" -> "same CosTopK bounded-heap aggregate (probed candidates only)",
+      "q_ann_lsh_batch" -> ("CosTopK + lshBucket HOF projection (documented: " +
+        "bucket at write time at scale, as q_ann_lsh)")
     )
     def fallbacks(df: DataFrame): Seq[String] =
       df.queryExecution.sparkPlan.flatMap(p => p.expressions.flatMap(e =>
