@@ -55,7 +55,10 @@ object GraftFunctions {
       litInt(exprs(1), "minhash_sig", "shingleK"),
       litInt(exprs(2), "minhash_sig", "numHashes"))),
     d("lang_id", exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
-    d("stopword_count", exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)))
+    d("stopword_count", exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)),
+    // aggregate: SELECT qid, cos_topk(score, id, 5) ... GROUP BY qid
+    d("cos_topk", exprs => CosTopK(exprs(0), exprs(1),
+      litInt(exprs(2), "cos_topk", "k")).toAggregateExpression()))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

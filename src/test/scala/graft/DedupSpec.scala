@@ -144,6 +144,11 @@ class DedupSpec extends SparkSpec {
       spark.sql("SELECT minhash_sig(text, CAST(doc_id AS INT), 12) FROM __docs_sqlfn").collect()
     }
     assert(e.getMessage.contains("integer literal"))
+    // the bounded-heap top-k aggregate is SQL-callable too
+    val tk = spark.sql(
+      """SELECT doc_id % 2 AS g, cos_topk(CAST(doc_id AS DOUBLE), doc_id, 2) AS t
+        |FROM __docs_sqlfn GROUP BY doc_id % 2""".stripMargin).collect()
+    assert(tk.forall(_.getSeq[org.apache.spark.sql.Row](1).size <= 2))
     // the spark.sql.extensions class path (what spark-submit --conf uses)
     // wires the same family into a fresh session's registry
     val ext = new graft.GraftExtensions()
@@ -151,7 +156,7 @@ class DedupSpec extends SparkSpec {
     ext(se) // must not throw; descriptors resolvable
     assert(GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("tok_hash", "token_count", "simhash32", "doc_fingerprint",
-        "cosine_sim", "minhash_sig", "lang_id", "stopword_count"))
+        "cosine_sim", "minhash_sig", "lang_id", "stopword_count", "cos_topk"))
   }
 
   test("native text expressions ≡ HOF reference forms, incl. edge cases") {
