@@ -114,7 +114,10 @@ object Bench {
       def rep(): Double = try time(exec(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       val t1 = rep()
       val t2 = if (t1 < 0) t1 else rep()
-      name -> (math.min(t1, t2), t1)
+      // a transient rep-2 failure must not poison a successful rep 1
+      // (min(t1, -1) would report the query as failed)
+      val best = if (t2 < 0) t1 else math.min(t1, t2)
+      name -> (best, t1)
     }
     // adaptive steady-state reps (rep 1 pays JIT + codegen + shuffle warm-up;
     // round 1's fixed 2 reps under-reported throughput ~50× vs steady state).

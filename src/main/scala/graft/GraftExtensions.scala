@@ -37,27 +37,34 @@ object GraftFunctions {
       s"$fn: argument <$arg> must be an integer literal, got $e")
   }
 
-  private def d(name: String, builder: Seq[Expression] => Expression)
+  private def d(name: String, arity: Int, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name),
+      (exprs: Seq[Expression]) => {
+        // arity check BEFORE indexing: a missing argument must surface as a
+        // readable analysis error, not IndexOutOfBoundsException
+        if (exprs.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${exprs.length}")
+        builder(exprs)
+      })
 
   /** The whole registrable native family. Marker/stopword-parameterized
     * expressions (lang_id, token_set_count) bind the engine's default
     * profiles — the Column API takes custom profiles. */
   private[graft] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    d("tok_hash", exprs => TokHash(exprs.head)),
-    d("token_count", exprs => TokenCount(exprs.head)),
-    d("simhash32", exprs => SimHash32(exprs.head)),
-    d("doc_fingerprint", exprs => DocFingerprint(exprs.head)),
-    d("cosine_sim", exprs => CosineSim(exprs(0), exprs(1))),
-    d("minhash_sig", exprs => MinHashSig(exprs(0),
+    d("tok_hash", 1, exprs => TokHash(exprs.head)),
+    d("token_count", 1, exprs => TokenCount(exprs.head)),
+    d("simhash32", 1, exprs => SimHash32(exprs.head)),
+    d("doc_fingerprint", 1, exprs => DocFingerprint(exprs.head)),
+    d("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),
+    d("minhash_sig", 3, exprs => MinHashSig(exprs(0),
       litInt(exprs(1), "minhash_sig", "shingleK"),
       litInt(exprs(2), "minhash_sig", "numHashes"))),
-    d("lang_id", exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
-    d("stopword_count", exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)),
+    d("lang_id", 1, exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
+    d("stopword_count", 1, exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)),
     // aggregate: SELECT qid, cos_topk(score, id, 5) ... GROUP BY qid
-    d("cos_topk", exprs => CosTopK(exprs(0), exprs(1),
+    d("cos_topk", 3, exprs => CosTopK(exprs(0), exprs(1),
       litInt(exprs(2), "cos_topk", "k")).toAggregateExpression()))
 
   /** Runtime registration into an existing session's function registry. */

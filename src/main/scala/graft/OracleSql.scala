@@ -569,7 +569,7 @@ object OracleSql {
        |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
        |sizes AS (SELECT cluster_id, COUNT(*) AS n_dups FROM cl GROUP BY cluster_id)
        |SELECT c.doc_id, c.quality_score, c.n_tokens, z.n_dups,
-       |  CAST(mod(CAST(c.doc_id AS BIGINT) * 2654435761, 8) AS INTEGER) AS shard
+       |  CAST(mod(mod(CAST(c.doc_id AS BIGINT), 2654435761) * 40503, 8) AS INTEGER) AS shard
        |FROM cl
        |JOIN clean c USING (doc_id)
        |JOIN sizes z ON cl.cluster_id = z.cluster_id

@@ -119,8 +119,16 @@ object CosTopK {
     }
 
     def insert(c: Double, id: Long): Unit =
-      if (size < k) { cs(size) = c; ids(size) = id; size += 1; siftUp(size - 1) }
-      else if (worse(cs(0), ids(0), c, id)) { cs(0) = c; ids(0) = id; siftDown() }
+      // NaN scores are skipped like null ones: a NaN cosine (zero-norm
+      // vector) is not a similarity, and NaN poisons the comparator both
+      // ways (never evicted once in, never admitted once full — making the
+      // kept set depend on arrival order, which would break the
+      // merge-order-invariance contract and the oracle's NaN-sorts-greatest
+      // ROW_NUMBER order)
+      if (!c.isNaN) {
+        if (size < k) { cs(size) = c; ids(size) = id; size += 1; siftUp(size - 1) }
+        else if (worse(cs(0), ids(0), c, id)) { cs(0) = c; ids(0) = id; siftDown() }
+      }
   }
 
   def cos_topk(score: Column, id: Column, k: Int): Column =

@@ -46,10 +46,22 @@ object QuantLR {
   val QuantScale: Double = 1073741824.0
   val MaxRows: Long = 1L << 22
 
+  /** Largest row count whose quantized-term sums stay exactly convertible
+    * to double: n · scale ≤ 2^52. The default scale's bound is [[MaxRows]]
+    * (2^22, with a 2× safety factor). */
+  def maxRowsFor(quantScale: Double): Long =
+    math.max(1L, ((1L << 52) / quantScale).toLong / 2)
+
   /** Fit; returns weights with the intercept at index 0. EAGER (runs
-    * 2 + iters tiny jobs). */
+    * 2 + iters tiny jobs).
+    *
+    * `quantScale` is the precision ↔ scale knob the bound's error message
+    * points at: lower it (in powers of two) for inputs past `maxRowsFor`;
+    * the oracle SQL must then be generated with the SAME scale
+    * (OracleSql.qFeatureImportance binds the default). */
   def fit(df: DataFrame, features: Seq[String], labelCol: String,
-          iters: Int = DefaultIters, lr: Double = DefaultLr): Array[Double] = {
+          iters: Int = DefaultIters, lr: Double = DefaultLr,
+          quantScale: Double = QuantScale): Array[Double] = {
     val mmAggs = features.flatMap(f =>
       Seq(min(col(f)).cast("long"), max(col(f)).cast("long")))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
@@ -64,8 +76,10 @@ object QuantLR {
     try {
       val n = z.count()
       require(n > 0, "QuantLR.fit: empty input")
-      require(n <= MaxRows,
-        s"QuantLR.fit: $n rows exceeds the exact-sum bound $MaxRows — lower quantScale")
+      require(n <= maxRowsFor(quantScale),
+        s"QuantLR.fit: $n rows exceeds the exact-sum bound ${maxRowsFor(quantScale)} " +
+          s"for quantScale=$quantScale — pass a lower quantScale (and regenerate " +
+          "the oracle SQL with the same scale)")
       val nD = n.toDouble
       val w = Array.fill(features.size + 1)(0.0)
       for (_ <- 1 to iters) {
@@ -74,10 +88,10 @@ object QuantLR {
         val sig = lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
         val r = sig - col("__y")
         val terms = r +: features.indices.map(i => r * col(s"z$i"))
-        val aggs = terms.map(t => sum(floor(t * lit(QuantScale))))
+        val aggs = terms.map(t => sum(floor(t * lit(quantScale))))
         val row = z.agg(aggs.head, aggs.tail: _*).head()
         for (j <- w.indices)
-          w(j) = w(j) - lr * (row.getLong(j).toDouble / QuantScale / nD)
+          w(j) = w(j) - lr * (row.getLong(j).toDouble / quantScale / nD)
       }
       w
     } finally z.unpersist()
@@ -89,8 +103,9 @@ object QuantLR {
     * feature)` computes in the oracle. */
   def featureImportance(df: DataFrame, features: Seq[String], labelCol: String,
                         topK: Int = 20, iters: Int = DefaultIters,
-                        lr: Double = DefaultLr): DataFrame = {
-    val w = fit(df, features, labelCol, iters, lr)
+                        lr: Double = DefaultLr,
+                        quantScale: Double = QuantScale): DataFrame = {
+    val w = fit(df, features, labelCol, iters, lr, quantScale)
     val ranked = features.zip(w.drop(1))
       .sortBy { case (f, c) => (-math.abs(c), f) }
       .take(topK)

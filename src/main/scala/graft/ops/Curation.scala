@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * ([[TextAnalysis.qualityFiltered]] — one codegen'd pass over `text`) runs
   * BEFORE the expensive LSH+Jaccard+connected-components dedup, so the
   * banded join only ever sees documents worth keeping. Shard assignment is
-  * a pure projection (`pmod(id · 2654435761, nShards)` — portable integer
-  * arithmetic, mirrored exactly in the DuckDB oracle), so the output can be
-  * written `partitionBy("shard")` with no extra shuffle beyond the write.
+  * a pure projection — `pmod(pmod(id, 2654435761) · 40503, nShards)`: the
+  * inner mod bounds the product at ~2^48, so the arithmetic can NEVER
+  * overflow int64 in either engine (a bare `id · 2654435761` would wrap in
+  * Spark but raise in DuckDB for ids ≥ 2^63/2654435761 ≈ 3.5e9 — reachable
+  * corpus ids), keeping the oracle mirror exact at any id. The output can
+  * be written `partitionBy("shard")` with no extra shuffle beyond the
+  * write.
   *
   * Output: one row per kept document — (id, quality_score, n_tokens,
   * n_dups = size of its near-dup component inside the quality-clean set,
@@ -27,8 +31,14 @@ object Curation {
              bands: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket,
              jaccardThreshold: Double = 0.6): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // persist: the gate's scoring pass is consumed ~5× downstream (LSH
+    // banding, both Jaccard joins, the CC node seed, the survivor join) —
+    // most of those materialize eagerly inside Dedup.clusters, so the cache
+    // is hot exactly when needed; it stays resident for the returned plan's
+    // final join (callers drop it with spark.catalog.clearCache or let it
+    // age out, as with connectedComponents' final labels)
     val clean = TextAnalysis.qualityFiltered(
-      df.select(col(idCol), col(textCol)), textCol, minScore)
+      df.select(col(idCol), col(textCol)), textCol, minScore).persist()
     val clusters = Dedup.clusters(clean, idCol, textCol,
       shingleK, numHashes, bands, maxBucket, jaccardThreshold)
     val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
@@ -36,7 +46,7 @@ object Curation {
       .filter(col(idCol) === col("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col(idCol), col("quality_score"), col("n_tokens"), col("n_dups"),
-        pmod(col(idCol).cast("long") * lit(2654435761L), lit(nShards.toLong))
-          .cast("int").as("shard"))
+        pmod(pmod(col(idCol).cast("long"), lit(2654435761L)) * lit(40503L),
+          lit(nShards.toLong)).cast("int").as("shard"))
   }
 }

@@ -96,9 +96,14 @@ object Metrics {
     * quantized histogram (`floor(score·quantizeBins)/quantizeBins`) built
     * DIRECTLY from the input — the unbounded exact histogram is never
     * materialized on the guarded path. Quantized F1 is an approximation
-    * (each score snaps down to its grid point before the >= comparison);
-    * the default gate (2^20 distinct) keeps every exact-oracle use exact.
-    * EAGER: the probe runs a job at construction time. */
+    * (each score snaps down to its grid point before the >= comparison).
+    * The probe is an ESTIMATE, so the switch compares it against
+    * 1.05 × `maxDistinctScores` (≫ the HLL's 2% rsd): an inherently-noisy
+    * estimate can therefore never flip an input that is truly under the
+    * gate onto the quantized path (which would silently diverge from the
+    * exact oracle); the cost is that quantization engages only slightly
+    * above the nominal gate — fine for what is a scale guard, not a
+    * semantic boundary. EAGER: the probe runs a job at construction. */
   def thresholdScan(df: DataFrame, label: String, score: String,
                     thresholds: Seq[Double],
                     maxDistinctScores: Long = 1L << 20,
@@ -109,7 +114,8 @@ object Metrics {
     val distinctApprox =
       df.agg(approx_count_distinct(col(score), 0.02)).head().getLong(0)
     val hist =
-      if (distinctApprox <= maxDistinctScores) scoreHistogram(df, label, score)
+      if (distinctApprox <= maxDistinctScores + maxDistinctScores / 20)
+        scoreHistogram(df, label, score)
       else df.groupBy((floor(col(score) * quantizeBins) / quantizeBins).as("__s"))
         .agg(count(lit(1)).as("__n"),
           sum(when(col(label) === 1, 1L).otherwise(0L)).as("__p"))

@@ -115,8 +115,11 @@ object Multimodal {
   def decodeImageBatch(batch: Seq[Array[Byte]]): Seq[Option[(Int, Int, Array[Float])]] =
     batch.map { bytes =>
       val img =
+        // NonFatal, not just IOException: the JDK image readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds on malformed
+        // chunk data, and one crafted row must not kill the task
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img.map { im =>
         val (w, h) = (im.getWidth, im.getHeight)
         var (sr, sg, sb) = (0.0, 0.0, 0.0)
@@ -177,7 +180,7 @@ object Multimodal {
             if (r.isNullAt(1)) None
             else try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           decoded match {
             case Some(im) =>
               val den = math.max(im.getWidth, im.getHeight)
@@ -244,23 +247,32 @@ object Multimodal {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
               val fmt = ais.getFormat
-              val frames = ais.getFrameLength
-              val bytes = ais.readAllBytes()
-              var sum = 0.0
-              var i = 0
-              while (i + 1 < bytes.length) { // 16-bit little-endian mono
-                val s = ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort.toDouble
-                sum += s * s
-                i += 2
+              // the RMS loop below assumes 16-bit little-endian mono PCM;
+              // anything else (8-bit, stereo, big-endian, float, or a
+              // crafted header with rate <= 0 / NOT_SPECIFIED) maps to a
+              // null row rather than silently-wrong numbers or a division
+              // by zero escaping the catch
+              val ok = fmt.getSampleRate > 0 &&
+                fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                !fmt.isBigEndian &&
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              if (!ok) None
+              else {
+                val frames = ais.getFrameLength
+                val bytes = ais.readAllBytes()
+                var sum = 0.0
+                var i = 0
+                while (i + 1 < bytes.length) { // 16-bit little-endian mono
+                  val s = ((bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)).toShort.toDouble
+                  sum += s * s
+                  i += 2
+                }
+                val n = bytes.length / 2
+                Some((fmt.getSampleRate.toInt, frames,
+                  (frames * 1000 / fmt.getSampleRate.toLong).toInt,
+                  if (n > 0) math.sqrt(sum / n) else 0.0))
               }
-              val n = bytes.length / 2
-              Some((fmt.getSampleRate.toInt, frames,
-                (frames * 1000 / fmt.getSampleRate.toLong).toInt,
-                if (n > 0) math.sqrt(sum / n) else 0.0))
-            } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
-            }
+            } catch { case scala.util.control.NonFatal(_) => None }
           decoded match {
             case Some((sr, fr, ms, rms)) => Row(r.getLong(0), sr, fr, ms, rms)
             case None => Row(r.getLong(0), null, null, null, null)

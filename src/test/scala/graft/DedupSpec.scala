@@ -144,6 +144,11 @@ class DedupSpec extends SparkSpec {
       spark.sql("SELECT minhash_sig(text, CAST(doc_id AS INT), 12) FROM __docs_sqlfn").collect()
     }
     assert(e.getMessage.contains("integer literal"))
+    // missing arguments surface as a readable error naming the function
+    val ea = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(text) FROM __docs_sqlfn").collect()
+    }
+    assert(ea.getMessage.contains("cosine_sim expects 2"))
     // the bounded-heap top-k aggregate is SQL-callable too
     val tk = spark.sql(
       """SELECT doc_id % 2 AS g, cos_topk(CAST(doc_id AS DOUBLE), doc_id, 2) AS t
@@ -304,9 +309,13 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == Set(10L, 20L), s"wrong survivors: $got")
     assert(got(10L)._3 == 3L, s"component size wrong: ${got(10L)}")
     assert(got(20L)._3 == 1L)
-    // shard = pmod(id * 2654435761, 8), portable integer arithmetic
-    assert(got(10L)._4 == java.lang.Math.floorMod(10L * 2654435761L, 8L).toInt)
-    assert(got(20L)._4 == java.lang.Math.floorMod(20L * 2654435761L, 8L).toInt)
+    // shard = pmod(pmod(id, 2654435761) * 40503, 8) — overflow-free in
+    // BOTH engines at any id (the review caught the bare id*prime wrapping
+    // in Spark but raising in DuckDB past ~3.5e9)
+    def shard(id: Long) =
+      java.lang.Math.floorMod(java.lang.Math.floorMod(id, 2654435761L) * 40503L, 8L).toInt
+    assert(got(10L)._4 == shard(10L))
+    assert(got(20L)._4 == shard(20L))
     // quality metadata rides through
     assert(got(10L)._1 >= 2 && got(10L)._2 == 10)
   }
@@ -490,6 +499,12 @@ class DedupSpec extends SparkSpec {
       val r = out.getStruct(j, 2); (r.getDouble(0), r.getLong(1))
     }
     assert(rows == Seq((0.9, 2L), (0.9, 3L), (0.7, 5L)))
+    // NaN scores (zero-norm cosine) are skipped — they'd otherwise poison
+    // the comparator and make the kept set arrival-order-dependent
+    val bn = new graft.functions.CosTopK.Buffer(2)
+    Seq((Double.NaN, 9L), (0.5, 1L), (Double.NaN, 8L), (0.8, 2L), (0.6, 3L))
+      .foreach { case (c, i) => bn.insert(c, i) }
+    assert(entries(bn) == Set((0.8, 2L), (0.6, 3L)))
   }
 
   test("lsh topk agrees with brute force on the shared candidates") {
