@@ -17,8 +17,8 @@ import graft.sinks.{Figures, Xlsx}
   *   - eval_metrics.json       per-fold acc/precision/recall/F1/AUC/PR-AUC
   *                             + mean±std summary (Models.evaluationRun)
   *   - feature_importance.xlsx/.csv  top-k |coefficient| table (dual sink)
-  *   - feature_importance.svg  signed bar chart
-  *   - pr_curve.svg            precision-recall curve of the full-fit model
+  *   - feature_importance.svg/.png  signed bar chart (SVG + raster twin)
+  *   - pr_curve.svg/.png       precision-recall curve of the full-fit model
   *
   * Slot grain (the label keeps both classes at every SF) with a synthesized
   * unique numeric slot id so the stratified fold scramble stays
@@ -55,6 +55,8 @@ object EvalMain {
     Figures.save(
       Figures.importanceBarSvg(fi.map(x => x._1 -> x._2), title = "Top LR coefficients"),
       s"$outDir/feature_importance.svg")
+    Figures.savePng(Figures.importanceBarPng(fi.map(x => x._1 -> x._2)),
+      s"$outDir/feature_importance.png")
 
     // 3. PR curve of the full-fit model's scores → svg
     val assembled = new org.apache.spark.ml.feature.VectorAssembler()
@@ -71,6 +73,7 @@ object EvalMain {
       .select("recall", "precision").na.drop()
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
     Figures.save(Figures.prCurveSvg(curve), s"$outDir/pr_curve.svg")
+    Figures.savePng(Figures.prCurvePng(curve), s"$outDir/pr_curve.png")
   }
 
   def main(args: Array[String]): Unit = {

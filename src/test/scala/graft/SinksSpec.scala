@@ -47,6 +47,28 @@ class SinksSpec extends SparkSpec {
     assert(!sheetXml.contains("B4\" t=\"inlineStr\""))
   }
 
+  test("png figure twins: decodable, right dims, deterministic bytes, curve pixels drawn") {
+    val pr = Seq((0.0, 1.0), (0.5, 0.8), (1.0, 0.6))
+    val png = Figures.prCurvePng(pr)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 480 && img.getHeight == 360)
+    // curve color appears somewhere inside the plot box
+    var found = false
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) == 0x1f77b4) found = true
+    assert(found, "polyline pixels missing")
+    assert(png.toSeq == Figures.prCurvePng(pr).toSeq) // byte-deterministic
+    val bars = Figures.importanceBarPng(Seq("a" -> 0.9, "b" -> -0.4, "c" -> 0.1))
+    val bimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bars))
+    var (pos, neg) = (0, 0)
+    for (y <- 0 until bimg.getHeight; x <- 0 until bimg.getWidth) {
+      val c = bimg.getRGB(x, y) & 0xffffff
+      if (c == 0x1f77b4) pos += 1
+      if (c == 0xd62728) neg += 1
+    }
+    assert(pos > 0 && neg > 0, s"bar fills missing: pos=$pos neg=$neg")
+  }
+
   test("xlsx: non-finite doubles emit blank cells, not invalid numeric XML") {
     // degenerate-fold metrics can legitimately be NaN; <v>NaN</v> with t="n"
     // is invalid SpreadsheetML that Excel rejects or "repairs"
