@@ -19,6 +19,18 @@ object Bench {
   def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Return the session to zero retained storage: drop operator-scoped
+    * persists (Curation/connectedComponents label RDDs), the SQL cache, and
+    * any stray RDD persists. Round 4's driver bench showed why this matters:
+    * caches pinned by earlier queries in the 60×2-rep shared JVM slowed two
+    * UNRELATED mid-pack queries ~3× and depressed the TPS loop — every rep
+    * now starts from the same clean-session state a fresh JVM would give. */
+  def resetStorage(spark: SparkSession): Unit = {
+    graft.ops.StorageScope.global.release()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
@@ -109,9 +121,22 @@ object Bench {
     // 3 fresh-JVM runs read 1.1-1.4 s). Two full reps (construction included
     // — PrefixSum-based queries build eagerly) bound that noise while keeping
     // the pass ~2x, and rep-1 totals are reported alongside so the variance
-    // is visible, not hidden.
+    // is visible, not hidden. Storage resets after EVERY rep so no query
+    // ever times against another query's (or its own rep-1) retained caches.
+    //
+    // SPARK_GRAFT_BENCH_ISOLATE=1: each query additionally gets a FRESH
+    // SparkContext (stop + rebuild) — the cross-check distribution for
+    // BASELINE.md against the shared-JVM numbers; not the driver default
+    // because 60 context restarts add minutes of non-query wall-clock.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    var cur = spark
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): Double = try time(exec(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      if (isolate) { cur.stop(); cur = session(cpus) }
+      def rep(): Double = {
+        val t = try time(exec(fn(cur, sfDir))) catch { case _: Throwable => -1.0 }
+        resetStorage(cur)
+        t
+      }
       val t1 = rep()
       val t2 = if (t1 < 0) t1 else rep()
       // a transient rep-2 failure must not poison a successful rep 1
@@ -125,7 +150,11 @@ object Bench {
     // first few TPS reps routinely read 2-3× low.
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
     val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val (turns, nTurns) = tpsInput(spark, convs, cpus.toInt * 2)
+    // the TPS loop must not time against the query pass's leftovers — reset
+    // retained storage (and in isolate mode, the whole context) first
+    if (isolate) { cur.stop(); cur = session(cpus) }
+    resetStorage(cur)
+    val (turns, nTurns) = tpsInput(cur, convs, cpus.toInt * 2)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var continue = true
     while (continue && runs.size < math.max(minReps, 8)) {
@@ -141,13 +170,14 @@ object Bench {
     val qs1 = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalRep1 = results.map(_._2._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rep_policy":"min_of_2","total_rep1":$totalRep1,"queries_rep1":$qs1,"turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
+    val policy = if (isolate) "min_of_2_isolated" else "min_of_2"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rep_policy":"$policy","total_rep1":$totalRep1,"queries_rep1":$qs1,"turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
     // belt-and-braces for the driver's parser: a well-known file AND the
     // final bare stdout line (build.sbt StdoutOutput keeps it unprefixed).
     // cwd-relative (forked run cwd = repo root) so it works from any checkout
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
-    spark.stop()
+    cur.stop()
     println(json)
   }
 }

@@ -32,15 +32,22 @@ object Curation {
              jaccardThreshold: Double = 0.6): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     // persist: the gate's scoring pass is consumed ~5× downstream (LSH
-    // banding, both Jaccard joins, the CC node seed, the survivor join) —
-    // most of those materialize eagerly inside Dedup.clusters, so the cache
-    // is hot exactly when needed; it stays resident for the returned plan's
-    // final join (callers drop it with spark.catalog.clearCache or let it
-    // age out, as with connectedComponents' final labels)
+    // banding, both Jaccard joins, the CC node seed), ALL of them
+    // materialized eagerly inside Dedup.clusters (connectedComponents runs
+    // its BSP jobs at construction) — so the cache is hot exactly while it
+    // is needed, and can be RELEASED before this method returns. The one
+    // remaining consumer, the returned plan's survivor join, recomputes the
+    // gate from source: a single map-only codegen'd pass over `text`, the
+    // cheapest stage in the pipeline — a deliberate trade for zero retained
+    // storage per call (round-4's leak measurably slowed unrelated queries
+    // in a 60×2-rep shared session). On failure inside clusters the finally
+    // still drops the cache before the exception escapes.
     val clean = TextAnalysis.qualityFiltered(
       df.select(col(idCol), col(textCol)), textCol, minScore).persist()
-    val clusters = Dedup.clusters(clean, idCol, textCol,
-      shingleK, numHashes, bands, maxBucket, jaccardThreshold)
+    val clusters =
+      try Dedup.clusters(clean, idCol, textCol,
+        shingleK, numHashes, bands, maxBucket, jaccardThreshold)
+      finally clean.unpersist(blocking = false)
     val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
     clean.join(clusters, idCol)
       .filter(col(idCol) === col("cluster_id"))

@@ -169,10 +169,12 @@ object Dedup {
     * semantics), which at worst runs one extra no-op round — convergence is
     * still proven by the final `changed == 0` require. Superseded rounds are
     * unpersisted as soon as the next round lands (executor storage stays
-    * O(1) in the round count); the FINAL label RDD and the edge list stay
-    * persisted because the returned DataFrame reads them — callers drop them
-    * with `unpersistAfterUse` on the session's cache, or simply let them age
-    * out.
+    * O(1) in the round count); the FINAL label RDD stays persisted because
+    * the returned DataFrame reads it — it is registered with `scope`
+    * (default [[StorageScope.global]]) so the session owner releases it
+    * deterministically once the result is consumed (Bench does this between
+    * reps). On ANY failure — non-convergence or a job error — every RDD this
+    * operator persisted is unpersisted before the exception escapes.
     *
     * `reliable = true` swaps the MEMORY_AND_DISK persist for a real RDD
     * checkpoint (requires `sparkContext.setCheckpointDir`) — the
@@ -193,7 +195,8 @@ object Dedup {
     * component, so a row is its cluster's survivor iff id == cluster_id. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String,
                           maxIter: Int = 20, reliable: Boolean = false,
-                          shortcut: Boolean = false): DataFrame = {
+                          shortcut: Boolean = false,
+                          scope: StorageScope = StorageScope.global): DataFrame = {
     val spark = nodes.sparkSession
     val sc = spark.sparkContext
     if (reliable) require(sc.getCheckpointDir.isDefined,
@@ -225,9 +228,15 @@ object Dedup {
       edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
         .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))),
       chgIdx = -1)
-    var (labRdd, _, labels) = materialize(
+    var labRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    var labels: DataFrame = null
+    var ok = false
+    try {
+    val m0 = materialize(
       nodes.select(col(idCol).cast("long").as("__node")).withColumn("__lab", col("__node")),
       chgIdx = -1)
+    labRdd = m0._1
+    labels = m0._3
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -259,7 +268,15 @@ object Dedup {
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    symRdd.unpersist(blocking = false) // edges are not read by the result
+    ok = true
+    } finally {
+      // edges are never read by the result; the FINAL label RDD survives
+      // only on success (registered with the caller's scope below) — on any
+      // failure nothing this operator persisted outlives the exception
+      symRdd.unpersist(blocking = false)
+      if (!ok && labRdd != null) labRdd.unpersist(blocking = false)
+    }
+    scope.retain(labRdd)
     labels.select(col("__node").as(idCol), col("__lab").as("cluster_id"))
   }
 
@@ -272,12 +289,13 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, textCol: String,
                shingleK: Int = 3, numHashes: Int = 12, bands: Int = 4,
                maxBucket: Int = DefaultMaxBucket,
-               jaccardThreshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
+               jaccardThreshold: Double = 0.6, maxIter: Int = 20,
+               scope: StorageScope = StorageScope.global): DataFrame = {
     val pairs = minHashLshPairs(df, idCol, textCol, shingleK, numHashes, bands, maxBucket)
     val verified = ngramJaccard(df, pairs, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(df.select(col(idCol)), verified, idCol, maxIter)
+    connectedComponents(df.select(col(idCol)), verified, idCol, maxIter, scope = scope)
   }
 
   /** Exact token-set Jaccard for candidate pairs (precision verification).

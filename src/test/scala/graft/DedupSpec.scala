@@ -266,6 +266,19 @@ class DedupSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), "chain must collapse to one component")
     val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leftover.size <= 1, s"pinned ${leftover.size} RDDs (want <= final labels only)")
+    // the surviving labels RDD is registered with the global scope — one
+    // release() returns the session to zero retained storage (what Bench
+    // does between reps)
+    graft.ops.StorageScope.global.release()
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRelease.isEmpty, s"release() left ${afterRelease.size} RDDs pinned")
+    // failure path (non-convergence): NOTHING this operator persisted may
+    // outlive the exception (round-4 advice: symRdd + last labRdd leaked)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", maxIter = 2)
+    }
+    val afterFailure = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterFailure.isEmpty, s"failed run left ${afterFailure.size} RDDs pinned")
     // reliable=true: real RDD checkpoint; requires a checkpoint dir
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(nodesDf, edgesDf, "doc_id", reliable = true)
@@ -301,10 +314,18 @@ class DedupSpec extends SparkSpec {
       (14L, "el gato y el perro de la casa que ladra mucho y"),
       (20L, "the quick brown fox jumps over a lazy sleeping dog today")
     ).toDF("doc_id", "text")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = graft.ops.Curation.curate(docs, "doc_id", "text", nShards = 8,
       shingleK = 1, numHashes = 12, bands = 6)
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
       .toMap
+    // cache lifecycle (round-4 what's-wrong #1): the gate persist is released
+    // inside curate; only the scope-registered CC labels RDD may remain, and
+    // one global release drops it
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(pinned.size <= 1, s"curate pinned ${pinned.size} RDDs (want <= CC labels only)")
+    graft.ops.StorageScope.global.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).isEmpty)
     // survivors: 10 (component {10,11,12}) and 20 (singleton); 13/14 gated out
     assert(got.keySet == Set(10L, 20L), s"wrong survivors: $got")
     assert(got(10L)._3 == 3L, s"component size wrong: ${got(10L)}")
