@@ -61,6 +61,9 @@ object GraftFunctions {
     d("minhash_sig", 3, exprs => MinHashSig(exprs(0),
       litInt(exprs(1), "minhash_sig", "shingleK"),
       litInt(exprs(2), "minhash_sig", "numHashes"))),
+    d("lsh_bucket", 3, exprs => LshBucket(exprs(0),
+      litInt(exprs(1), "lsh_bucket", "bits"),
+      litInt(exprs(2), "lsh_bucket", "seed").toLong)),
     d("lang_id", 1, exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
     d("stopword_count", 1, exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)),
     // aggregate: SELECT qid, cos_topk(score, id, 5) ... GROUP BY qid

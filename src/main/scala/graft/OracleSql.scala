@@ -889,15 +889,44 @@ object OracleSql {
        |SELECT vec_id, ${sqlCosine("embedding", "qe")} AS cos_sim
        |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
-  /** IVF-flat ANN top-k (mirrors Similarity.ivfTopK, nlist=16, nprobe=4):
-    * scramble-sampled centroids, nearest-centroid assignment with a
-    * lexicographic (cos, -cid) struct-max tie-break, probe the query's 4
-    * nearest lists, exact cosine top 10. */
-  val qAnnIvf: String =
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
-       |cents AS (
-       |  SELECT vec_id AS cid, embedding AS cemb FROM base
+  /** Shared IVF quantizer CTE chain (mirrors Similarity.ivfCentroids with
+    * lloydIters = 1): `cents0` = the scramble-ordered seed sample widened to
+    * double; `assigned0` = nearest-seed assignment (struct-max = lowest-cid
+    * ties, NaN-greatest under DuckDB's total order — CosineArgMax's scan
+    * rule); `lsums` = per-(list, dim) element sums QUANTIZED to BIGINT
+    * before summation (`floor(x · 2^20)` — exact integer sums, so the mean
+    * `(Σq / n) / 2^20` is the same IEEE double Spark computes under any
+    * partitioning); `cents` = the refined quantizer, empty lists keeping
+    * their seed centroid; `assigned` = the final assignment over it. */
+  private def ivfCentsCtes(base: String): String =
+    s"""base AS ($base),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       |  FROM base
        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16
+       |),
+       |assigned0 AS (
+       |  SELECT b.vec_id,
+       |    (max(struct_pack(c := ${sqlCosine("b.embedding", "c.cemb")},
+       |                     n := -c.cid, i := c.cid))).i AS list_id,
+       |    first(b.embedding) AS embedding
+       |  FROM base b, cents0 c GROUP BY b.vec_id
+       |),
+       |lx AS (
+       |  SELECT list_id,
+       |    unnest(range(1, len(embedding) + 1)) AS dim,
+       |    unnest(list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))) AS qx
+       |  FROM assigned0
+       |),
+       |lsums AS (SELECT list_id, dim, SUM(qx) AS sq, COUNT(*) AS cnt
+       |  FROM lx GROUP BY list_id, dim),
+       |cents AS (
+       |  SELECT c.cid, COALESCE(m.emb, c.cemb) AS cemb
+       |  FROM cents0 c LEFT JOIN (
+       |    SELECT list_id,
+       |      list((CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1048576.0 ORDER BY dim) AS emb
+       |    FROM lsums GROUP BY list_id) m ON c.cid = m.list_id
        |),
        |assigned AS (
        |  SELECT b.vec_id,
@@ -905,7 +934,15 @@ object OracleSql {
        |                     n := -c.cid, i := c.cid))).i AS list_id,
        |    first(b.embedding) AS embedding
        |  FROM base b, cents c GROUP BY b.vec_id
-       |),
+       |)""".stripMargin
+
+  /** IVF-flat ANN top-k (mirrors Similarity.ivfTopK, nlist=16, nprobe=4,
+    * lloydIters=1): scramble-sampled seed centroids + one bit-exact
+    * quantized Lloyd refinement, nearest-centroid assignment with a
+    * lexicographic (cos, -cid) struct-max tie-break, probe the query's 4
+    * nearest lists, exact cosine top 10. */
+  val qAnnIvf: String =
+    s"""WITH ${ivfCentsCtes("SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0")},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |probes AS (
        |  SELECT c.cid AS probe FROM cents c, q
@@ -930,22 +967,12 @@ object OracleSql {
        |SELECT qid, CAST(rk AS INTEGER) AS "rank", vec_id, cos_sim FROM r WHERE rk <= 5""".stripMargin
 
   /** Batch IVF top-k (mirrors Similarity.ivfTopKBatch, queries = vec_id
-    * 0-2, k = 5, nlist = 16, nprobe = 4): shared centroid sample +
-    * struct-max assignment as qAnnIvf; per-query probe selection and the
-    * final top-k rank with qid-partitioned ROW_NUMBERs. */
+    * 0-2, k = 5, nlist = 16, nprobe = 4, lloydIters = 1): shared
+    * Lloyd-refined quantizer + struct-max assignment as qAnnIvf; per-query
+    * probe selection and the final top-k rank with qid-partitioned
+    * ROW_NUMBERs (the engine's CosTopK keep-order, NaN-greatest). */
   val qAnnIvfBatch: String =
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
-       |cents AS (
-       |  SELECT vec_id AS cid, embedding AS cemb FROM base
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16
-       |),
-       |assigned AS (
-       |  SELECT b.vec_id,
-       |    (max(struct_pack(c := ${sqlCosine("b.embedding", "c.cemb")},
-       |                     n := -c.cid, i := c.cid))).i AS list_id,
-       |    first(b.embedding) AS embedding
-       |  FROM base b, cents c GROUP BY b.vec_id
-       |),
+    s"""WITH ${ivfCentsCtes("SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3")},
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
        |pc AS (
        |  SELECT q.qid, c.cid, ${sqlCosine("q.qe", "c.cemb")} AS qc

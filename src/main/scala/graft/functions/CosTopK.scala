@@ -18,10 +18,15 @@ import org.apache.spark.sql.types._
   * window would move every scored row of a query onto one task, and a
   * collect_list/sort/slice composition buffers a whole partition per group.
   *
-  * Deterministic: (score, -id) is a TOTAL order (ids unique), so the kept
-  * set is partitioning- and merge-order-invariant. Null scores/ids are
-  * skipped. Output: array<struct<c:double, i:bigint>> sorted score-desc,
-  * id-asc — exactly the ROW_NUMBER (score DESC, id ASC) oracle order.
+  * Deterministic: (score, -id) is a TOTAL order (ids unique) under the
+  * NaN-SORTS-GREATEST comparison (NaN > +Inf, NaN == NaN, ±0.0 equal), so
+  * the kept set is partitioning- and merge-order-invariant even when NaN
+  * scores (zero-norm embeddings) are present. Null scores/ids are skipped.
+  * Output: array<struct<c:double, i:bigint>> sorted score-desc, id-asc —
+  * exactly the ROW_NUMBER (score DESC, id ASC) oracle order, where both
+  * DuckDB and Spark's own orderBy rank NaN FIRST on a descending sort
+  * (round-4 advice: the heap used to silently drop NaN, diverging from the
+  * oracle on any zero-norm vector).
   */
 case class CosTopK(scoreChild: Expression, idChild: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -51,7 +56,11 @@ case class CosTopK(scoreChild: Expression, idChild: Expression, k: Int,
   }
 
   override def eval(b: CosTopK.Buffer): Any = {
-    val order = (0 until b.size).sortBy(j => (-b.cs(j), b.ids(j)))
+    // best-first: j before l iff l is worse — the same NaN-greatest order
+    // the heap keeps, so NaN scores emit at rank 1 like the oracle's
+    // ORDER BY score DESC
+    val order = (0 until b.size).sortWith((j, l) =>
+      CosTopK.Buffer.worse(b.cs(l), b.ids(l), b.cs(j), b.ids(j)))
     new GenericArrayData(order.map { j =>
       new GenericInternalRow(Array[Any](b.cs(j), b.ids(j))): Any
     }.toArray)
@@ -89,9 +98,7 @@ object CosTopK {
     val ids = new Array[Long](k)
     var size = 0
 
-    // a is worse than b under the keep-order (score, -id)
-    private def worse(ca: Double, ia: Long, cb: Double, ib: Long): Boolean =
-      ca < cb || (ca == cb && ia > ib)
+    import Buffer.worse
 
     private def swap(a: Int, b: Int): Unit = {
       val tc = cs(a); cs(a) = cs(b); cs(b) = tc
@@ -119,16 +126,24 @@ object CosTopK {
     }
 
     def insert(c: Double, id: Long): Unit =
-      // NaN scores are skipped like null ones: a NaN cosine (zero-norm
-      // vector) is not a similarity, and NaN poisons the comparator both
-      // ways (never evicted once in, never admitted once full — making the
-      // kept set depend on arrival order, which would break the
-      // merge-order-invariance contract and the oracle's NaN-sorts-greatest
-      // ROW_NUMBER order)
-      if (!c.isNaN) {
-        if (size < k) { cs(size) = c; ids(size) = id; size += 1; siftUp(size - 1) }
-        else if (worse(cs(0), ids(0), c, id)) { cs(0) = c; ids(0) = id; siftDown() }
-      }
+      if (size < k) { cs(size) = c; ids(size) = id; size += 1; siftUp(size - 1) }
+      else if (worse(cs(0), ids(0), c, id)) { cs(0) = c; ids(0) = id; siftDown() }
+  }
+
+  object Buffer {
+    /** `a < b` under the NaN-greatest score order: NaN beats every finite
+      * score and +Inf, NaN ties NaN, and ±0.0 compare equal (the one spot
+      * where java.lang.Double.compare would diverge from SQL ordering). A
+      * NaN cosine (zero-norm vector) therefore ranks FIRST, exactly like
+      * `ORDER BY cos_sim DESC` in DuckDB and Spark — keeping the heap a
+      * total order (merge-order-invariant) without dropping rows the oracle
+      * keeps. */
+    private def lessScore(a: Double, b: Double): Boolean =
+      if (a.isNaN) false else b.isNaN || a < b
+
+    /** (ca, ia) is worse than (cb, ib) under the keep-order (score, -id). */
+    def worse(ca: Double, ia: Long, cb: Double, ib: Long): Boolean =
+      lessScore(ca, cb) || (!lessScore(ca, cb) && !lessScore(cb, ca) && ia > ib)
   }
 
   def cos_topk(score: Column, id: Column, k: Int): Column =

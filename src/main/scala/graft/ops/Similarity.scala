@@ -109,35 +109,96 @@ object Similarity {
       .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.i").as(idCol), col("col.c").as("cos_sim"))
 
-  /** Batch IVF top-k: the corpus is assigned ONCE via the codegen'd
-    * [[graft.functions.CosineArgMax]] projection; per-query probe lists are
-    * computed driver-side from the collected centroid set (|Q|·nlist
-    * bit-exact cosines — bounded by `maxQueries`); probed candidates reduce
-    * through the bounded-heap CosTopK aggregate (one shuffle, ≤ k entries
-    * per query per map task). Candidate work is Σ_q |probed lists(q)| —
-    * exactly the IVF read amplification, O(N·nprobe/nlist) per query when
-    * the table is list-partitioned at ingest. */
-  def ivfTopKBatch(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
-                   qidCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                   maxQueries: Int = 4096): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Quantization scale for the Lloyd refinement's per-dimension sums —
+    * 2^20, shared bit-for-bit with the DuckDB oracle (OracleSql binds the
+    * same literal). Exactness bound: per-list element sums stay exactly
+    * convertible to double while `rows_per_list · 2^20 · max|x| < 2^53`
+    * — ~8.6e9 unit-scale rows per inverted list; beyond that, lower the
+    * scale (and regenerate the oracle) exactly as with QuantLR.quantScale. */
+  val LloydQuantScale: Double = 1048576.0
+
+  /** IVF coarse quantizer: a deterministic scramble-ordered seed sample of
+    * `nlist` corpus vectors, refined by `lloydIters` k-means (Lloyd) steps.
+    *
+    * The refinement is CROSS-ENGINE BIT-EXACT (the reason it can sit under
+    * the DuckDB hash gate): each step assigns every vector to its nearest
+    * centroid with the codegen'd [[graft.functions.CosineArgMax]] projection
+    * (one map-only pass, zero row amplification), then recomputes each
+    * centroid as the mean of its list — with the per-dimension sums
+    * QUANTIZED to int64 (`floor(x · 2^20)`) BEFORE summation, so the sums
+    * are exact integers (order-independent under any partitioning) and the
+    * final mean `(Σq / n) / 2^20` is the same IEEE double in both engines
+    * (QuantLR's trick applied to k-means). Empty lists keep their seed
+    * centroid. Returns double-precision centroids keyed by the seed ids.
+    *
+    * Plan shape per step: one codegen'd assignment projection + a
+    * posexplode to (list, dim) keyed sums — map-side combined, so the
+    * shuffle carries nlist·dim partials per task, and the collect is
+    * nlist·dim tiny rows. The ×dim row amplification is a one-off quantizer
+    * build cost, standard for IVF training. */
+  def ivfCentroids(df: DataFrame, idCol: String, embCol: String, nlist: Int,
+                   lloydIters: Int = 1): Seq[(Long, Array[Double])] = {
     val centRows = df
       .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
       .limit(nlist)
       .select(col(idCol).cast("long"), col(embCol)).collect()
-    val cents = centRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
-    val qRows = queryDf.select(col(qidCol).cast("long"), col(embCol))
-      .limit(maxQueries + 1).collect()
-    require(qRows.length <= maxQueries,
-      s"ivfTopKBatch computes probe lists driver-side for at most $maxQueries queries")
-    val probes = qRows.flatMap { r =>
-      val qv = r.getSeq[Float](1).toArray
-      cents.map { case (cid, ce) => (graft.functions.CosineSim.cosine(qv, ce), cid) }
-        .sortBy { case (c, cid) => (-c, cid) }.take(nprobe)
-        .map(p => (r.getLong(0), p._2))
-    }.toSeq.toDF("__pqid", "__probe")
+    var cents: Seq[(Long, Array[Double])] =
+      centRows.map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    for (_ <- 1 to lloydIters) {
+      val sums = df
+        .select(graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents).as("__list"),
+          posexplode(col(embCol)))
+        .groupBy(col("__list"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(LloydQuantScale))).as("__sq"),
+          count(lit(1)).as("__cnt"))
+        .collect()
+      val byList = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byList.get(cid) match {
+          case Some(rows) =>
+            val next = old.clone()
+            // mean = (Σ floor(x·S) / n) / S — exact int64 sum, then two
+            // correctly-rounded double divisions in the SAME order as the
+            // oracle's (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) / S
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                (r.getLong(2).toDouble / r.getLong(3).toDouble) / LloydQuantScale
+            }
+            (cid, next)
+          case None => (cid, old) // empty inverted list keeps its seed
+        }
+      }
+    }
+    cents
+  }
+
+  /** Batch IVF top-k: the corpus is assigned ONCE via the codegen'd
+    * [[graft.functions.CosineArgMax]] projection over the Lloyd-refined
+    * quantizer; per-query probe lists are computed DISTRIBUTED — query ×
+    * broadcast(centroids) scored map-only, reduced by the same bounded-heap
+    * [[graft.functions.CosTopK]] aggregate with k = nprobe (the round-4
+    * driver-side probe loop and its 4,096-query cap are gone); probed
+    * candidates reduce through CosTopK again (one shuffle, ≤ k entries per
+    * query per map task). Candidate work is Σ_q |probed lists(q)| — exactly
+    * the IVF read amplification, O(N·nprobe/nlist) per query when the table
+    * is list-partitioned at ingest. Residual bound: the query SET (and its
+    * |Q|·nprobe probe table) must fit a broadcast — the batch contract. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
+                   qidCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                   lloydIters: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(df, idCol, embCol, nlist, lloydIters)
+    val centDf = cents.map { case (cid, e) => (cid, e) }.toDF("__cid", "__cemb")
     val q = queryDf.select(col(qidCol).cast("long").as("__qid"), col(embCol).as("__q"))
+    // per-query nprobe nearest centroids: (cos desc, cid asc) with NaN
+    // sorting greatest — CosTopK's keep-order, = the oracle's ROW_NUMBER
+    // (ORDER BY qc DESC, cid)
+    val probes = q.join(broadcast(centDf))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.CosTopK.cos_topk(
+        cosine(col("__q"), col("__cemb")), col("__cid"), nprobe).as("__top"))
+      .select(col("__qid").as("__pqid"), explode(col("__top.i")).as("__probe"))
     val cand = df
       .withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
       .join(broadcast(probes), col("__list") === col("__probe"))
@@ -162,8 +223,17 @@ object Similarity {
   /** Random-hyperplane (SimHash-style) signature for LSH bucketing: `bits`
     * pseudo-hyperplanes derived from a seeded deterministic weight pattern;
     * bucket id packs the sign bits. Same-bucket vectors are cosine-close with
-    * high probability — candidate pairs come from a bucket equi-join. */
-  def lshBucket(emb: Column, bits: Int, seed: Long): Column = {
+    * high probability — candidate pairs come from a bucket equi-join.
+    * Native one-pass codegen'd expression (identical arithmetic to the HOF
+    * form below and the DuckDB oracle's `sqlLshBucket`). */
+  def lshBucket(emb: Column, bits: Int, seed: Long): Column =
+    graft.functions.LshBucket.lsh_bucket(emb, bits, seed)
+
+  /** HOF form of [[lshBucket]] — spec cross-check only (the `bits`
+    * per-plane `aggregate(transform(...))` folds are CodegenFallback and
+    * re-walk the array per bit; the native expression replaced them on
+    * every hot path). */
+  def lshBucketHof(emb: Column, bits: Int, seed: Long): Column = {
     val sig = (0 until bits).map { b =>
       // deterministic pseudo-random hyperplane: w_i = mix(seed,b,i) mapped to ±1
       val proj = aggregate(
@@ -183,38 +253,42 @@ object Similarity {
     * nearest lists — an O(N·nprobe/nlist) candidate read instead of O(N)
     * when the table is written partitioned/bucketed by `list_id` at ingest.
     *
-    * Centroids are a deterministic scramble-ordered sample of the corpus
-    * (production swaps in Lloyd-iterated centroids; the sampled quantizer
-    * keeps the operator bit-reproducible across engines, so it sits under
-    * the DuckDB hash gate). Assignment ties (equal cosine) break to the
-    * LOWEST centroid id — the cosines are bit-identical in both engines, so
-    * the argmax agrees (see [[graft.functions.CosineArgMax]]).
+    * Centroids come from [[ivfCentroids]]: a deterministic scramble-ordered
+    * seed sample refined by `lloydIters` bit-exact quantized Lloyd steps, so
+    * the quantizer reflects the data distribution while staying
+    * bit-reproducible across engines (under the DuckDB hash gate).
+    * Assignment ties (equal cosine) break to the LOWEST centroid id; NaN
+    * cosines sort greatest — both matching the oracle's struct-max (see
+    * [[graft.functions.CosineArgMax]]).
     *
     * Plan shape: centroid selection is a TakeOrderedAndProject of nlist tiny
-    * rows (collected — bounded at nlist); assignment is ONE codegen'd
-    * map-only projection (`CosineArgMax`), with zero row amplification — the
-    * previous broadcast-join + struct-max groupBy materialized N×nlist
-    * pre-combine rows, the dominant cost at a production nlist of 4k-64k;
-    * probe selection is nlist driver-side cosines (same fold — bit-identical
-    * to the oracle); the probe read is a codegen'd `isin` filter; the final
+    * rows (collected — bounded at nlist) + the Lloyd refinement's keyed
+    * sums; assignment is ONE codegen'd map-only projection (`CosineArgMax`),
+    * with zero row amplification; probe selection is nlist driver-side
+    * cosines (same fold — bit-identical to the oracle, NaN-greatest
+    * ordering); the probe read is a codegen'd `isin` filter; the final
     * top-k is TakeOrderedAndProject.
     *
     * Contract: `queryDf` is a SINGLE query row (enforced) — per-query top-k
-    * over a query batch partitions these stages by a query id instead.
-    * EAGER: centroids and the query row are collected at construction. */
+    * over a query batch partitions these stages by a query id instead
+    * ([[ivfTopKBatch]]). EAGER: centroids and the query row are collected
+    * at construction. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centRows = df
-      .orderBy(pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)), col(idCol))
-      .limit(nlist)
-      .select(col(idCol).cast("long"), col(embCol)).collect()
-    val cents = centRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+              k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(df, idCol, embCol, nlist, lloydIters)
     val qRows = queryDf.select(col(embCol)).limit(2).collect()
     require(qRows.length == 1, "ivfTopK probes a single query row; got " + qRows.length)
     val qv = qRows(0).getSeq[Float](0).toArray
+    // (cos desc, cid asc) with NaN sorting greatest — the oracle's
+    // ORDER BY qc DESC, cid under DuckDB's NaN-greatest total order (a
+    // plain sortBy(-c) would put NaN LAST: Scala's total order ranks NaN
+    // above +Inf, and negation keeps it there)
     val probeIds = cents
       .map { case (cid, ce) => (graft.functions.CosineSim.cosine(qv, ce), cid) }
-      .sortBy { case (c, cid) => (-c, cid) }.take(nprobe).map(_._2)
+      .sortWith { case ((ca, ia), (cb, ib)) =>
+        graft.functions.CosTopK.Buffer.worse(cb, ib, ca, ia)
+      }
+      .take(nprobe).map(_._2)
     val q = queryDf.select(col(embCol).as("__q"))
     df.withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
       .filter(col("__list").isin(probeIds: _*))

@@ -18,6 +18,12 @@ object Bridge {
     * checking for the native expression family). */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 
+  /** `TypeCollection` (accept-any-of input typing) is private[sql] too —
+    * expressions that take more than one concrete input type (e.g.
+    * array<float> | array<double>) build their `inputTypes` through here. */
+  def oneOf(types: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
   /** Wrap a LogicalPlan as a DataFrame (classic Dataset.ofRows is
     * private[sql]) — used to surface custom logical nodes (graft.plans). */
   def ofRows(

@@ -161,7 +161,15 @@ class DedupSpec extends SparkSpec {
     ext(se) // must not throw; descriptors resolvable
     assert(GraftFunctions.descriptors.map(_._1.funcName).toSet ==
       Set("tok_hash", "token_count", "simhash32", "doc_fingerprint",
-        "cosine_sim", "minhash_sig", "lang_id", "stopword_count", "cos_topk"))
+        "cosine_sim", "minhash_sig", "lang_id", "stopword_count", "cos_topk",
+        "lsh_bucket"))
+    // lsh_bucket via SQL matches the Column API
+    val lb = spark.sql(
+      "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 42) AS b")
+      .collect()(0).getLong(0)
+    val lbCol = Seq(Tuple1(Array(1.0f, -2.0f))).toDF("e")
+      .select(Similarity.lshBucket(col("e"), 4, 42L)).collect()(0).getLong(0)
+    assert(lb == lbCol)
   }
 
   test("native text expressions ≡ HOF reference forms, incl. edge cases") {
@@ -356,11 +364,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("native expressions reject wrong input types at analysis time") {
-    // CosineSim reads ArrayData.getFloat — an array<double> embedding column
-    // must be an analysis error, not silently-garbage similarities
-    val dbl = Seq((1L, Array(1.0, 2.0), Array(1.0, 2.0))).toDF("id", "a", "b")
+    // CosineSim accepts array<float|double> per side (mixed float/double is
+    // the Lloyd-centroid scoring path) — but a non-array input must be an
+    // analysis error, not silently-garbage similarities
+    val dbl = Seq((1L, Array(1.0, 2.0), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+    val mixed = dbl.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(mixed - 1.0) < 1e-12)
     intercept[org.apache.spark.sql.AnalysisException] {
-      dbl.select(Similarity.cosine(col("a"), col("b"))).collect()
+      docs.select(Similarity.cosine(col("text"), col("text"))).collect()
     }
     intercept[org.apache.spark.sql.AnalysisException] {
       docs.select(graft.functions.TextExprs.token_count(col("doc_id"))).collect()
@@ -368,6 +379,37 @@ class DedupSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       docs.select(graft.functions.TokHash.tok_hash(col("doc_id"))).collect()
     }
+  }
+
+  test("native LshBucket equals the HOF fold on float and double arrays") {
+    val rnd = new scala.util.Random(17)
+    val fvecs = (0L until 64L).map(i => (i, Array.fill(9)(rnd.nextFloat() * 4 - 2)))
+      .toDF("id", "emb")
+    Seq(1, 4, 8, 20).foreach { bits =>
+      val mismatch = fvecs.select(
+        Similarity.lshBucket(col("emb"), bits, 42L).as("n"),
+        Similarity.lshBucketHof(col("emb"), bits, 42L).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(mismatch == 0, s"float path diverges at bits=$bits")
+    }
+    // double path (the oversampler's feature vectors)
+    val dvecs = (0L until 64L).map(i => (i, Array.fill(5)(rnd.nextDouble() * 6 - 3)))
+      .toDF("id", "emb")
+    val dMismatch = dvecs.select(
+      Similarity.lshBucket(col("emb"), 10, 7L).as("n"),
+      Similarity.lshBucketHof(col("emb"), 10, 7L).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(dMismatch == 0, "double path diverges")
+    // analysis-time rejection of non-array input
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(Similarity.lshBucket(col("text"), 4, 42L)).collect()
+    }
+    // the projection stays inside whole-stage codegen (the point of the
+    // native expression — the HOF form was CodegenFallback)
+    val plan = fvecs.select(Similarity.lshBucket(col("emb"), 8, 42L))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.filter(_.contains("Project ["))
+      .forall(_.contains("*(")), s"LshBucket fell out of codegen:\n$plan")
   }
 
   test("blocked near-dup pairs: hot blocks skipped deterministically, small blocks pair") {
@@ -419,10 +461,121 @@ class DedupSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(plan).size == 1, s"extra broadcasts:\n$plan")
   }
 
+  test("ivf Lloyd refinement: recall improves on a clustered corpus, deterministic") {
+    // 8 tight, well-separated direction clusters: the scramble-ordered seed
+    // sample lands multiple seeds in some clusters and none in others, so
+    // probing misses; one Lloyd step pulls each non-empty list's centroid to
+    // its cluster mean, tightening the quantizer
+    val rnd = new scala.util.Random(11)
+    val protos = (0 until 8).map(_ => Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val emb = (0 until 400).map { i =>
+      val p = protos(i % 8)
+      (i.toLong, p.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") >= 8)
+    def recall(lloyd: Int): Double = {
+      val qs = (0L until 8L).map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+        val brute = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val ivf = Similarity.ivfTopK(base, "vec_id", "embedding", q, 10,
+          nlist = 8, nprobe = 1, lloydIters = lloyd)
+          .collect().map(_.getLong(0)).toSet
+        (ivf & brute).size.toDouble / brute.size
+      }
+      qs.sum / qs.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"Lloyd step must not hurt recall: $r0 -> $r1")
+    assert(r1 >= 0.9, s"refined quantizer should near-solve the clustered fixture: $r1")
+    // deterministic: same input -> bit-identical centroids on repeat runs
+    val c1 = Similarity.ivfCentroids(base, "vec_id", "embedding", 8, 1)
+    val c2 = Similarity.ivfCentroids(base.repartition(7), "vec_id", "embedding", 8, 1)
+    assert(c1.map(_._1) == c2.map(_._1))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b), "Lloyd centroids not partition-invariant")
+    }
+  }
+
+  test("NaN cosine sorts greatest across the family (oracle ORDER BY ... DESC order)") {
+    // zero-norm vectors make cosine NaN; DuckDB and Spark both rank NaN
+    // FIRST on a descending sort, so the heap/argmax must agree (round-4
+    // advice: they used to skip NaN — the opposite of the claimed parity)
+    val b = new graft.functions.CosTopK.Buffer(2)
+    Seq((0.9, 1L), (Double.NaN, 7L), (0.5, 2L), (Double.NaN, 3L))
+      .foreach { case (c, i) => b.insert(c, i) }
+    val kept = (0 until b.size).map(j => (b.cs(j), b.ids(j)))
+    assert(kept.forall(_._1.isNaN) && kept.map(_._2).toSet == Set(3L, 7L),
+      s"NaN must evict finite scores: $kept")
+    val agg = graft.functions.CosTopK(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 2)
+    val out = agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // NaN ties break id-asc like the oracle's ROW_NUMBER
+    assert(out.getStruct(0, 2).getLong(1) == 3L && out.getStruct(1, 2).getLong(1) == 7L)
+    // argmax: a zero-norm (NaN-cosine) centroid wins over any finite one,
+    // NaN ties to the lowest centroid id
+    val e = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "emb")
+    val cents = Seq(5L -> Array(1.0, 0.0), 9L -> Array(0.0, 0.0), 4L -> Array(0.0, 0.0))
+    val got = e.select(graft.functions.CosineArgMax.cosine_argmax(col("emb"), cents))
+      .collect()(0).getLong(0)
+    assert(got == 4L, s"NaN centroid (lowest id) must win: got $got")
+    // end-to-end: a zero-norm corpus vector ranks first in batch top-k,
+    // matching Spark's own orderBy(desc) on the same scores
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 0.0f)),
+      (12L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val qdf = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "embedding")
+    val batch = Similarity.bruteForceTopKBatch(corpus, "vec_id", "embedding",
+      qdf, "qid", 3).collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(batch(1) == 11L, s"NaN row must rank 1: $batch")
+  }
+
+  test("batch ivf: distributed probe selection handles query sets past the old 4096 cap") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = (1000L until 6000L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("qid", "embedding")
+    val got = Similarity.ivfTopKBatch(emb, "vec_id", "embedding", queries, "qid",
+      k = 3, nlist = 8, nprobe = 8)
+    // nprobe = nlist: every query probes everything, so each of the 5,000
+    // queries gets exactly k exact-brute-force rows
+    assert(got.count() == 5000L * 3)
+    // spot-check one query against single-query brute force
+    val one = got.filter(col("qid") === 1234L)
+      .collect().map(r => r.getLong(2)).toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries.filter(col("qid") === 1234L), 3).collect().map(_.getLong(0)).toSet
+    assert(one == brute)
+  }
+
+  test("CosineArgMax canonicalizes by centroid CONTENT; broadcast variant matches") {
+    val cents1 = Seq(1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0))
+    val cents2 = Seq(1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0)) // distinct arrays
+    import org.apache.spark.sql.graftbridge.Bridge
+    val e = Bridge.expression(col("emb"))
+    val a = graft.functions.CosineArgMax(e, graft.functions.Centroids(cents1))
+    val b = graft.functions.CosineArgMax(e, graft.functions.Centroids(cents2))
+    assert(a == b && a.hashCode == b.hashCode,
+      "semantically identical argmax expressions must compare equal (CSE/canonicalization)")
+    // broadcast-backed variant: same assignments, table ships once per executor
+    val df = Seq((1L, Array(1.0f, 0.1f)), (2L, Array(0.1f, 1.0f))).toDF("id", "emb")
+    val bc = spark.sparkContext.broadcast(graft.functions.Centroids(cents1))
+    val direct = df.select(col("id"),
+      graft.functions.CosineArgMax.cosine_argmax(col("emb"), cents1).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBc = df.select(col("id"),
+      graft.functions.CosineArgMax.cosine_argmax_bcast(col("emb"), bc).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == viaBc && direct == Map(1L -> 1L, 2L -> 2L))
+    bc.destroy()
+  }
+
   test("CosineArgMax breaks cosine ties to the lowest centroid id") {
     val e = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "emb")
     // two identical centroids (cos ties exactly) + one orthogonal
-    val cents = Seq(9L -> Array(2.0f, 0.0f), 3L -> Array(2.0f, 0.0f), 5L -> Array(0.0f, 1.0f))
+    val cents = Seq(9L -> Array(2.0, 0.0), 3L -> Array(2.0, 0.0), 5L -> Array(0.0, 1.0))
     val got = e.select(graft.functions.CosineArgMax.cosine_argmax(col("emb"), cents))
       .collect()(0).getLong(0)
     assert(got == 3L)
@@ -494,11 +647,6 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(lshBatch.getOrElse(qid, Set.empty) == single, s"lsh mismatch at $qid")
     }
-    // driver-side probe guard
-    intercept[IllegalArgumentException] {
-      Similarity.ivfTopKBatch(corpus, "vec_id", "embedding", queries, "qid",
-        k = 5, maxQueries = 2)
-    }
   }
 
   test("CosTopK heap: eviction, ties to lowest id, serde round-trip") {
@@ -520,12 +668,13 @@ class DedupSpec extends SparkSpec {
       val r = out.getStruct(j, 2); (r.getDouble(0), r.getLong(1))
     }
     assert(rows == Seq((0.9, 2L), (0.9, 3L), (0.7, 5L)))
-    // NaN scores (zero-norm cosine) are skipped — they'd otherwise poison
-    // the comparator and make the kept set arrival-order-dependent
+    // NaN scores (zero-norm cosine) sort GREATEST — the oracle's
+    // ORDER BY cos_sim DESC order in both DuckDB and Spark — and stay
+    // merge-order-invariant because the comparison is a total order
     val bn = new graft.functions.CosTopK.Buffer(2)
     Seq((Double.NaN, 9L), (0.5, 1L), (Double.NaN, 8L), (0.8, 2L), (0.6, 3L))
       .foreach { case (c, i) => bn.insert(c, i) }
-    assert(entries(bn) == Set((0.8, 2L), (0.6, 3L)))
+    assert(entries(bn).map(_._2) == Set(8L, 9L) && entries(bn).forall(_._1.isNaN))
   }
 
   test("lsh topk agrees with brute force on the shared candidates") {

@@ -116,7 +116,6 @@ class PlanAuditSpec extends SparkSpec {
     val allow: Map[String, String] = Map(
       "q_lsh_pairs" -> "banding transform over the 12-element signature of DISTINCT texts",
       "q_jaccard_verify" -> "same banding + set ops over LSH candidate pairs only",
-      "q_ann_lsh" -> "lshBucket HOF projection (documented: bucket at write time at scale)",
       "q_slot_clean" -> pct, "q_entity_stats" -> pct, "q_entity" -> pct,
       "q_entity_features" -> pct, "q_interactions" -> pct, "q_stratified_folds" -> pct,
       "q_top_entities" -> pct, "q_variance_screen" -> pct, "q_iqr_clip" -> pct,
@@ -128,8 +127,8 @@ class PlanAuditSpec extends SparkSpec {
         "buffer, partial-aggregated (TypedImperativeAggregate is CodegenFallback " +
         "by construction, like Percentile)"),
       "q_ann_ivf_batch" -> "same CosTopK bounded-heap aggregate (probed candidates only)",
-      "q_ann_lsh_batch" -> ("CosTopK + lshBucket HOF projection (documented: " +
-        "bucket at write time at scale, as q_ann_lsh)")
+      "q_ann_lsh_batch" -> ("same CosTopK bounded-heap aggregate (the bucket " +
+        "projection is now the native codegen'd LshBucket)")
     )
     def fallbacks(df: DataFrame): Seq[String] =
       df.queryExecution.sparkPlan.flatMap(p => p.expressions.flatMap(e =>
