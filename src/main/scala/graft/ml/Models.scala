@@ -34,23 +34,33 @@ object Models {
   /** Deterministic minority-class oversampler (SMOTE analog,
     * `LR_Advanced.py:626-627`): pairs each minority row with its EXACT
     * 1-nearest in-bucket neighbor (squared-euclidean over the feature
-    * vector; LSH buckets via random-hyperplane signs, the same family as
-    * Similarity.lshBucket) and emits midpoint interpolations until the
-    * classes balance.
+    * vector; LSH buckets via the native [[graft.functions.LshBucket]]
+    * signs) and emits interpolations `a + λ·(nn − a)` until the classes
+    * balance, with λ ∈ (0,1) a SEEDED per-synthetic-row hash — sklearn
+    * SMOTE's uniform λ made deterministic and partition-invariant by
+    * construction (λ is a pure function of (bucket, in-bucket rank,
+    * replica), all three themselves deterministic).
     *
-    * Documented deviations from sklearn SMOTE (shrunk in round 4 — the
-    * neighbor used to be the scrambled bucket SUCCESSOR): the neighbor
-    * search is exact 1-NN restricted to the row's LSH bucket (approximate
-    * global 1-NN — the standard at-scale SMOTE construction), and λ is
-    * fixed at 0.5 (not uniform random) for determinism/resumability.
+    * Remaining documented deviation from sklearn SMOTE: the neighbor search
+    * is exact 1-NN restricted to the row's LSH bucket (approximate global
+    * 1-NN — the standard at-scale SMOTE construction), and λ is hash-drawn
+    * rather than PRNG-drawn.
     *
     * Scale shape: the per-bucket self-join is the one quadratic, bounded by
     * ADAPTIVE bucket sizing — bits grow with the minority count so expected
     * bucket size stays ~256 (B² ≈ 65k join rows per bucket); for tiny
     * minorities (< 64 rows) a single bucket is exact global 1-NN. No global
-    * windows; ties in distance break to the lowest neighbor id. */
+    * windows; ties in distance break to the lowest neighbor id. The
+    * synthetic-row selection rank comes from a PrefixSum over the per-bucket
+    * pair counts broadcast-joined back (round-4 advice: the previous
+    * chained-`when` bucket→offset fold was an O(#buckets) expression tree —
+    * an analyzer blow-up at the ~1M-bucket worst case — fed by an unbounded
+    * driver collect).
+    *
+    * `bitsOverride` pins the bucket-signature width (tests / tuning);
+    * negative = adaptive. */
   def oversampleInterpolate(df: DataFrame, idCol: String, labelCol: String,
-                            features: Seq[String]): DataFrame = {
+                            features: Seq[String], bitsOverride: Int = -1): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count().collect()
       .map(r => r.get(0) -> r.getLong(1)).toMap
     if (counts.size < 2) return df
@@ -61,7 +71,8 @@ object Models {
     // ~256 rows per bucket: ceil(log2(minN/256)), floored at 4 bits (16
     // buckets) to match the historical layout, capped at 20
     val bits =
-      if (minN < 64) 0
+      if (bitsOverride >= 0) bitsOverride
+      else if (minN < 64) 0
       else math.min(20, math.max(4,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (minN - 1) / 256)).toInt))
     val bucket =
@@ -93,28 +104,40 @@ object Models {
       .select((aCols.map(col) ++
         features.map(c => col(s"__nn.__n_$c").as(s"__n_$c"))).toIndexedSeq: _*)
     // Deterministic-by-construction selection (the round-2 `.limit(need)` let
-    // partition visit order pick the survivors): a global pair rank from the
-    // tiny per-bucket counts (≤ 2^bits + 1 rows to the driver), a round-robin
+    // partition visit order pick the survivors): a global pair rank =
+    // bucket's exclusive prefix offset + in-bucket rank, a round-robin
     // synthetic index over replicas, keep index < need — the kept rows are a
     // pure function of the input at any parallelism, and exactly `need` rows
-    // survive (indices are distinct and cover [0, reps·pairs)).
-    val perBucket = paired.groupBy(col("__bkt")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val totalPairs = perBucket.map(_._2).sum
+    // survive (indices are distinct and cover [0, reps·pairs)). Offsets come
+    // from a PrefixSum over the per-bucket pair counts, broadcast-joined
+    // back (the offsets table is |occupied buckets| tiny rows, never an
+    // expression tree and never an unbounded collect); totalPairs rides the
+    // prefix pass's grand-total carry for free.
+    val (cum, totals) = graft.ops.PrefixSum.runningSumsWithTotals(
+      paired.groupBy(col("__bkt")).agg(count(lit(1)).as("__bn")),
+      Seq(col("__bkt")), Seq("__bn"))
+    val totalPairs = totals("__bn")
     if (totalPairs == 0) return df // minority of one row: nothing to interpolate
-    val offsets = perBucket.map(_._1).zip(perBucket.map(_._2).scanLeft(0L)(_ + _))
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (b, o)) =>
-      when(col("__bkt") === b, lit(o)).otherwise(acc)
-    }
+    val offsets = cum.select(col("__bkt").as("__o_bkt"),
+      (col("__bn_cum") - col("__bn")).as("__off"))
     val reps = ((need + totalPairs - 1) / totalPairs).toInt
-    val rank = offCol + col("__rn").cast("long") - lit(1L)
+    // λ ∈ (0,1): a seeded overflow-free hash of (bucket, rank, replica) —
+    // every synthetic row gets its own interpolation point on the segment,
+    // deterministic at any parallelism (sklearn SMOTE's uniform λ analog)
+    val lamHash = pmod(
+      pmod(col("__bkt") * lit(1048573L) + col("__rn").cast("long"), lit(2654435761L))
+        * lit(40503L) + col("__rep").cast("long") * lit(7919L),
+      lit(1000003L))
+    val lam = (lamHash.cast("double") + lit(0.5)) / lit(1000003.0)
+    val rank = col("__off") + col("__rn").cast("long") - lit(1L)
     val synth = paired
+      .join(broadcast(offsets), col("__bkt") === col("__o_bkt"))
       .withColumn("__rep", explode(sequence(lit(1), lit(reps))))
       .withColumn("__idx", (col("__rep") - 1).cast("long") * lit(totalPairs) + rank)
       .filter(col("__idx") < need)
       .select(df.columns.map { c =>
         if (features.contains(c))
-          ((col(c) + col(s"__n_$c")) / 2.0).as(c) // midpoint interpolation
+          (col(c) + lam * (col(s"__n_$c") - col(c))).as(c) // segment point at λ
         else if (c == idCol)
           (-(col("__bkt") * 1000000L + col("__rn").cast("long")) * 1000L - col("__rep")).as(c)
         else col(c)

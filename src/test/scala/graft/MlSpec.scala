@@ -42,7 +42,7 @@ class MlSpec extends SparkSpec {
       .foreach(v => assert(v >= minRows.min && v <= minRows.max))
   }
 
-  test("oversampler: every synthetic row is the midpoint of a row and its exact in-bucket 1-NN") {
+  test("oversampler: every synthetic lies ON its (row, exact in-bucket 1-NN) segment at λ∈(0,1)") {
     val feats = Seq("x1", "x2", "noise")
     val counts0 = data.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val minLabel = counts0.minBy(_._2)._1
@@ -54,22 +54,69 @@ class MlSpec extends SparkSpec {
       .select((Seq(col("id"), col("__bkt")) ++ feats.map(col)).toIndexedSeq: _*)
       .collect().map(r => (r.getLong(0), r.getLong(1), feats.indices.map(i => r.getDouble(2 + i))))
     // exact 1-NN per row within its bucket (ties -> lowest neighbor id)
-    val midpoints = bucketed.flatMap { case (id, bkt, f) =>
+    val segments = bucketed.flatMap { case (id, bkt, f) =>
       val cands = bucketed.filter(o => o._2 == bkt && o._1 != id)
       if (cands.isEmpty) None
       else {
         val nn = cands.minBy(o =>
           (o._3.zip(f).map { case (a, b) => (a - b) * (a - b) }.sum, o._1))
-        Some(f.zip(nn._3).map { case (a, b) => (a + b) / 2.0 }.toList)
+        Some((f.toList, nn._3.toList))
       }
-    }.toSet
+    }
+    // a synthetic s sits on segment (a, b) at a CONSISTENT λ∈(0,1):
+    // s_i = a_i + λ(b_i − a_i) for every dim, s_i = a_i where the segment
+    // is degenerate in that dim
+    def onSegment(s: List[Double]): Option[Double] = segments.view.flatMap {
+      case (a, b) =>
+        val lams = s.indices.flatMap { i =>
+          if (b(i) == a(i)) { if (s(i) == a(i)) None else Some(Double.NaN) }
+          else Some((s(i) - a(i)) / (b(i) - a(i)))
+        }
+        val ok = lams.nonEmpty && !lams.exists(_.isNaN) &&
+          lams.forall(l => math.abs(l - lams.head) < 1e-9) &&
+          lams.head > 0.0 && lams.head < 1.0
+        if (ok || (lams.isEmpty && s == a)) Some(if (lams.isEmpty) 0.5 else lams.head)
+        else None
+    }.headOption
     val synth = Models.oversampleInterpolate(data, "id", "y", feats)
       .filter(col("id") < 0)
       .select(feats.map(col).toIndexedSeq: _*)
       .collect().map(r => feats.indices.map(r.getDouble).toList)
     assert(synth.nonEmpty)
-    synth.foreach(s => assert(midpoints.contains(s),
-      s"synthetic $s is not a (row, in-bucket exact 1-NN) midpoint"))
+    val lambdas = synth.map { s =>
+      val l = onSegment(s)
+      assert(l.isDefined, s"synthetic $s is not on any (row, in-bucket exact 1-NN) segment")
+      l.get
+    }
+    // λ distribution: hash-drawn per synthetic row, NOT a fixed midpoint —
+    // many distinct values across the batch (round-4 missing #2 closed)
+    assert(lambdas.distinct.size > math.max(2, lambdas.size / 4),
+      s"λ values collapse: ${lambdas.distinct.take(5)}... (${lambdas.distinct.size} distinct)")
+  }
+
+  test("oversampler: high-bucket-count signature (bits=14) — no analyzer blow-up") {
+    // the round-4 shape folded bucket→offset into a chained `when` — an
+    // O(#buckets) expression tree. 8 features × 14 hyperplanes occupy
+    // thousands of sign-pattern buckets; the broadcast-joined offsets table
+    // must handle it in one plan of constant depth
+    val rnd = new scala.util.Random(3)
+    val feats = (1 to 8).map(i => s"f$i")
+    val rows = (0 until 4400).map { i =>
+      val y = if (i < 4000) 0 else 1 // 10:1 imbalance — minority is label 1 (400 rows)
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() * 10 - 5), y)
+    }
+    val df = rows.map { case (id, fs, y) =>
+      (id, fs(0), fs(1), fs(2), fs(3), fs(4), fs(5), fs(6), fs(7), y)
+    }.toDF("id" +: feats :+ "y": _*)
+    val over = Models.oversampleInterpolate(df, "id", "y", feats, bitsOverride = 14)
+    val c = over.groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c(0) == c(1), s"classes not balanced under bits=14: $c")
+    // partition invariance still holds at high bucket counts
+    val a = Models.oversampleInterpolate(df.repartition(3), "id", "y", feats,
+      bitsOverride = 14).filter(col("id") < 0).collect().map(_.toSeq).toSet
+    val b = Models.oversampleInterpolate(df.repartition(17), "id", "y", feats,
+      bitsOverride = 14).filter(col("id") < 0).collect().map(_.toSeq).toSet
+    assert(a == b, "bits=14 synthetics depend on partitioning")
   }
 
   test("oversampler: synthetic set is partitioning-invariant and balances exactly") {
