@@ -44,13 +44,15 @@ object QuantLR {
   val DefaultLr = 0.5
   /** 2^30 — shared with OracleSql.qFeatureImportance's unrolled SQL. */
   val QuantScale: Double = 1073741824.0
-  val MaxRows: Long = 1L << 22
 
   /** Largest row count whose quantized-term sums stay exactly convertible
-    * to double: n · scale ≤ 2^52. The default scale's bound is [[MaxRows]]
-    * (2^22, with a 2× safety factor). */
+    * to double: n · scale ≤ 2^52, halved as a safety factor. */
   def maxRowsFor(quantScale: Double): Long =
     math.max(1L, ((1L << 52) / quantScale).toLong / 2)
+
+  /** The bound [[fit]] actually enforces at the default scale: 2^21
+    * (round-4 advice: a hand-written 2^22 here overstated it 2×). */
+  val MaxRows: Long = maxRowsFor(QuantScale)
 
   /** Fit; returns weights with the intercept at index 0. EAGER (runs
     * 2 + iters tiny jobs).
@@ -62,9 +64,23 @@ object QuantLR {
   def fit(df: DataFrame, features: Seq[String], labelCol: String,
           iters: Int = DefaultIters, lr: Double = DefaultLr,
           quantScale: Double = QuantScale): Array[Double] = {
+    // the min-max scaling's exactness argument (integer subtraction, then one
+    // correctly-rounded division) only holds for integral features — a double
+    // feature would be truncated toward zero by the long cast, silently
+    // diverging from an oracle generated over the native values
+    features.foreach { f =>
+      val dt = df.schema(f).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"QuantLR.fit: feature '$f' is ${dt.typeName} — only integral feature " +
+          "columns keep the cross-engine bit-exactness contract (scale or " +
+          "bucketize doubles to counts first)")
+    }
     val mmAggs = features.flatMap(f =>
       Seq(min(col(f)).cast("long"), max(col(f)).cast("long")))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    // min() over an empty (or all-null) input is null — fail here with the
+    // friendly message rather than an opaque NPE from getLong below
+    require(!mm.isNullAt(0), "QuantLR.fit: empty input")
     val zCols = features.indices.map { i =>
       val mn = mm.getLong(2 * i)
       val mx = mm.getLong(2 * i + 1)

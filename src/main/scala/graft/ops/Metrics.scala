@@ -91,34 +91,33 @@ object Metrics {
     *
     * Continuous-score guard (mirrors [[averagePrecision]]'s): for continuous
     * double scores the "distinct-score table" is |rows|-sized and the grid
-    * amplification becomes 99×|rows|. A cheap HLL probe
-    * (`approx_count_distinct`, one map-side pass, tiny shuffle) gates a
-    * quantized histogram (`floor(score·quantizeBins)/quantizeBins`) built
-    * DIRECTLY from the input — the unbounded exact histogram is never
-    * materialized on the guarded path. Quantized F1 is an approximation
-    * (each score snaps down to its grid point before the >= comparison).
-    * The probe is an ESTIMATE, so the switch compares it against
-    * 1.05 × `maxDistinctScores` (≫ the HLL's 2% rsd): an inherently-noisy
-    * estimate can therefore never flip an input that is truly under the
-    * gate onto the quantized path (which would silently diverge from the
-    * exact oracle); the cost is that quantization engages only slightly
-    * above the nominal gate — fine for what is a scale guard, not a
-    * semantic boundary. EAGER: the probe runs a job at construction. */
+    * amplification becomes 99×|rows|. Round-4 shape ran a SEPARATE HLL probe
+    * job over the full input to decide; the guard now folds into the
+    * histogram pass itself (round-4 advice): the exact histogram is built
+    * once, persisted, and counted — that count IS the distinct-score count
+    * (exact, so the switch needs no estimate fudge factor and engages
+    * exactly at the gate, same semantics as [[guardedCumulative]]'s carry).
+    * Over the gate, the 99× grid joins a `floor(score·quantizeBins)/
+    * quantizeBins` re-aggregation OF THE CACHED HISTOGRAM (bounded output,
+    * no second input scan); quantized F1 is an approximation (each score
+    * snaps down to its grid point before the >= comparison). Net: ONE full
+    * input pass where round 4 paid two. The histogram persist is registered
+    * with `scope` — released by Bench between reps / callers that manage
+    * lifetimes. EAGER: the count job runs at construction. */
   def thresholdScan(df: DataFrame, label: String, score: String,
                     thresholds: Seq[Double],
                     maxDistinctScores: Long = 1L << 20,
-                    quantizeBins: Int = 100000): DataFrame = {
+                    quantizeBins: Int = 100000,
+                    scope: StorageScope = StorageScope.global): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    val distinctApprox =
-      df.agg(approx_count_distinct(col(score), 0.02)).head().getLong(0)
+    val g = scope.retain(scoreHistogram(df, label, score).persist())
+    val distinct = g.count()
     val hist =
-      if (distinctApprox <= maxDistinctScores + maxDistinctScores / 20)
-        scoreHistogram(df, label, score)
-      else df.groupBy((floor(col(score) * quantizeBins) / quantizeBins).as("__s"))
-        .agg(count(lit(1)).as("__n"),
-          sum(when(col(label) === 1, 1L).otherwise(0L)).as("__p"))
+      if (distinct <= maxDistinctScores) g
+      else g.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
+        .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
     hist
       .withColumn("__gn", col("__n") - col("__p"))
       .crossJoin(broadcast(th))

@@ -211,6 +211,26 @@ class MlSpec extends SparkSpec {
     assert(math.abs(fi(0)._2) >= math.abs(fi(1)._2))
   }
 
+  test("QuantLR guards: double features and empty input fail fast with friendly messages") {
+    // a double feature would be truncated toward zero by the long cast —
+    // rejected up front, not silently diverged from the oracle
+    val dbl = Seq((1L, 0.5, 1), (2L, -0.5, 0)).toDF("id", "f", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ml.QuantLR.fit(dbl, Seq("f"), "y")
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    // empty input: the friendly require fires before any getLong on the
+    // null min/max row
+    val empty = Seq.empty[(Long, Long, Int)].toDF("id", "f", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ml.QuantLR.fit(empty, Seq("f"), "y")
+    }
+    assert(e2.getMessage.contains("empty input"), e2.getMessage)
+    // the documented constant agrees with the enforced bound
+    assert(graft.ml.QuantLR.MaxRows ==
+      graft.ml.QuantLR.maxRowsFor(graft.ml.QuantLR.QuantScale))
+  }
+
   test("feature importance ranks by |coef| with deterministic name tie-break") {
     val fi = Models.featureImportance(
       Map("a" -> 0.5, "b" -> -0.9, "d" -> -0.1, "c" -> 0.1), topK = 3)
