@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 120 query executions + a cached multi-million-row TPS
+  // input needs headroom: at 8g the bench's late-pass queries paid multi-
+  // second GC pauses (3-17x swings on sub-second queries); the box has
+  // 128 GiB, so default high and let SPARK_DRIVER_MEM override downward
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // per-PID so concurrent forked JVMs (test + run) never clobber one log;
+  // kept on permanently: GC evidence was needed twice to adjudicate bench
+  // outliers (it exonerated GC and pointed at hypervisor CPU steal)
+  "-Xlog:gc:file=/tmp/graft_gc_%p.log:time,uptime",
 )

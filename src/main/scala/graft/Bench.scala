@@ -79,6 +79,8 @@ object Bench {
     (n, tps)
   }
 
+  private val jvmT0 = System.nanoTime()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -120,58 +122,101 @@ object Bench {
     // GC-debt outliers (round 3's driver run read q_pr_curve at 7.1 s where
     // 3 fresh-JVM runs read 1.1-1.4 s). Two full reps (construction included
     // — PrefixSum-based queries build eagerly) bound that noise while keeping
-    // the pass ~2x, and rep-1 totals are reported alongside so the variance
-    // is visible, not hidden. Storage resets after EVERY rep so no query
-    // ever times against another query's (or its own rep-1) retained caches.
+    // the pass ~2x, and pass-1 totals are reported alongside so the variance
+    // is visible, not hidden.
     //
     // SPARK_GRAFT_BENCH_ISOLATE=1: each query additionally gets a FRESH
     // SparkContext (stop + rebuild) — the cross-check distribution for
     // BASELINE.md against the shared-JVM numbers; not the driver default
     // because 60 context restarts add minutes of non-query wall-clock.
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    // diagnostic: run only a comma-separated subset of queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     var cur = spark
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    def rep(name: String, pass: Int): Double = {
       if (isolate) { cur.stop(); cur = session(cpus) }
-      def rep(): Double = {
-        val t = try time(exec(fn(cur, sfDir))) catch { case _: Throwable => -1.0 }
-        resetStorage(cur)
-        t
-      }
-      val t1 = rep()
-      val t2 = if (t1 < 0) t1 else rep()
-      // a transient rep-2 failure must not poison a successful rep 1
-      // (min(t1, -1) would report the query as failed)
-      val best = if (t2 < 0) t1 else math.min(t1, t2)
-      name -> (best, t1)
+      val fn = SparkEntry.queries(name)
+      val w0 = System.nanoTime()
+      val t = try time(exec(fn(cur, sfDir))) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] $name pass=$pass t=$t%.2f at=${(w0 - jvmT0) / 1e9}%.1f")
+      // reset retained storage after every rep so no rep ever times against
+      // another query's (or its own earlier rep's) caches — every measurement
+      // starts from the clean-session state a fresh JVM would give
+      resetStorage(cur)
+      t
     }
-    // adaptive steady-state reps (rep 1 pays JIT + codegen + shuffle warm-up;
-    // round 1's fixed 2 reps under-reported throughput ~50× vs steady state).
-    // Floor of 5: after the full query pass the JVM carries GC debt and the
-    // first few TPS reps routinely read 2-3× low.
+    // The two reps of a query run in two SEPARATED full passes, not
+    // back-to-back. This box sits on a hypervisor with bursty CPU steal
+    // (measured storms: 1-3 min where guest-usable CPU drops near zero and
+    // /proc/stat steal spikes to 13% — one storm inflated q_corpus_curation
+    // 4 s -> 42/71 s on BOTH back-to-back reps). Min-of-2 only defends
+    // against that if the two samples are farther apart than a storm is
+    // long; a full pass (~2 min) is. Queries whose two samples still
+    // disagree >2x get one adaptive third rep at the end of the run —
+    // by then the storm that hit them has passed.
+    // The TPS reps are spread across THREE groups interleaved with the query
+    // passes (before pass 1, between passes, after the rescue pass) for the
+    // same storm-immunity reason: a single back-to-back TPS loop fits inside
+    // one steal storm (one measured run: reps [450k, 1.17M, 1.47M, 381k,
+    // 223k] — the last two inside a storm, dragging the median to 450k).
+    // best/median are computed over all groups; the per-group input table is
+    // regenerated (generation is excluded from timing) so the cached TPS
+    // table never coexists with a timed query rep.
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toInt
-    val minReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    // the TPS loop must not time against the query pass's leftovers — reset
-    // retained storage (and in isolate mode, the whole context) first
-    if (isolate) { cur.stop(); cur = session(cpus) }
-    resetStorage(cur)
-    val (turns, nTurns) = tpsInput(cur, convs, cpus.toInt * 2)
+    val groupReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var continue = true
-    while (continue && runs.size < math.max(minReps, 8)) {
-      val r = pitRep(turns, nTurns)
-      val prevBest = if (runs.isEmpty) 0.0 else runs.max
-      runs += r
-      continue = runs.size < minReps || r > prevBest * 1.10
+    var nTurns = 0L
+    def tpsGroup(g: Int, adaptive: Boolean): Unit = {
+      if (isolate) { cur.stop(); cur = session(cpus) }
+      resetStorage(cur)
+      val (turns, n) = tpsInput(cur, convs, cpus.toInt * 2)
+      nTurns = n
+      var i = 0
+      var continue = true
+      while (continue) {
+        val r = pitRep(turns, n)
+        System.err.println(f"[bench] tps group=$g rep=$i tps=$r%.0f at=${(System.nanoTime() - jvmT0) / 1e9}%.1f")
+        val prevBest = if (runs.isEmpty) 0.0 else runs.max
+        runs += r
+        i += 1
+        // the last group keeps going while throughput still improves >10%
+        // (JIT/codegen warm-up length varies), bounded at +5 extra reps
+        continue = i < groupReps || (adaptive && r > prevBest * 1.10 && i < groupReps + 5)
+      }
+      turns.unpersist()
+      resetStorage(cur)
     }
-    turns.unpersist()
+    // JIT/codegen warm-up for the PIT pipeline (excluded from measurement) —
+    // group 1 runs on the coldest JVM of the three
+    pitThroughput(cur, nConvs = 20000, parts = cpus.toInt)
+    tpsGroup(1, adaptive = false)
+    val p1 = names.map { case (n, _) => n -> rep(n, 1) }.toMap
+    tpsGroup(2, adaptive = false)
+    val p2 = names.map { case (n, _) => n -> rep(n, 2) }.toMap
+    def minValid(ts: Seq[Double]): Double = {
+      val v = ts.filter(_ >= 0); if (v.isEmpty) -1.0 else v.min
+    }
+    val suspect = names.map(_._1).filter { n =>
+      val (a, b) = (p1(n), p2(n))
+      a < 0 || b < 0 || math.max(a, b) > 2.0 * math.min(a, b)
+    }
+    val p3 = suspect.map(n => n -> rep(n, 3)).toMap
+    val results = names.map { case (n, _) =>
+      n -> (minValid(Seq(p1(n), p2(n)) ++ p3.get(n)), p1(n))
+    }
+    tpsGroup(3, adaptive = true)
     val tps = runs.max
     val tpsMedian = runs.sorted.apply(runs.size / 2)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
     val qs1 = results.map { case (k, v) => "\"" + k + "\":" + v._2 }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalRep1 = results.map(_._2._2).filter(_ >= 0).sum
-    val policy = if (isolate) "min_of_2_isolated" else "min_of_2"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rep_policy":"$policy","total_rep1":$totalRep1,"queries_rep1":$qs1,"turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"bench_turns":$nTurns,"cpus":$cpus}"""
+    val policy = if (isolate) "min_of_2_passes_isolated" else "min_of_2_passes"
+    val rescued = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tpsReps = runs.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rep_policy":"$policy","rescued":$rescued,"total_rep1":$totalRep1,"queries_rep1":$qs1,"turns_per_sec":$tps,"turns_per_sec_median":$tpsMedian,"tps_reps":$tpsReps,"bench_turns":$nTurns,"cpus":$cpus}"""
     // belt-and-braces for the driver's parser: a well-known file AND the
     // final bare stdout line (build.sbt StdoutOutput keeps it unprefixed).
     // cwd-relative (forked run cwd = repo root) so it works from any checkout
