@@ -55,6 +55,8 @@ object GraftFunctions {
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     d("tok_hash", 1, exprs => TokHash(exprs.head)),
     d("token_count", 1, exprs => TokenCount(exprs.head)),
+    d("distinct_token_count", 1, exprs => DistinctTokenCount(exprs.head)),
+    d("top_token_freq", 1, exprs => TopTokenFreq(exprs.head)),
     d("simhash32", 1, exprs => SimHash32(exprs.head)),
     d("doc_fingerprint", 1, exprs => DocFingerprint(exprs.head)),
     d("cosine_sim", 2, exprs => CosineSim(exprs(0), exprs(1))),

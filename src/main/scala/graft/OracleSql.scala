@@ -1088,4 +1088,69 @@ object OracleSql {
        |  CAST(ROW_NUMBER() OVER (ORDER BY abs(coef) DESC, feature) AS INT) AS rank
        |FROM coefs""".stripMargin
   }
+
+  // ── corpus-shaping operators (CorpusOps) ─────────────────────────────────
+  // All share the engine's Knuth scramble ((id * 2654435761) % 2^32) so the
+  // "random" order/sample is bit-identical across engines.
+
+  /** Mirrors CorpusOps.capPerGroup(documents, doc_id, lang, 100): the
+    * two-phase engine form (pass-through under-cap groups + rank window on
+    * over-cap groups) is exactly the plain rank-filter below. */
+  val qGroupCap: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 100""".stripMargin
+
+  /** Mirrors CorpusOps.stratifiedSample(documents, doc_id, lang,
+    * en→100‰ zh→500‰, default 1000‰). */
+  val qSampleStratified: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 <
+      |  (CASE WHEN lang = 'zh' THEN 500 WHEN lang = 'en' THEN 100 ELSE 1000 END)""".stripMargin
+
+  /** Mirrors CorpusOps.repetitionStats: the engine computes the per-row
+    * signals in one native pass; the oracle takes the explode→groupBy road
+    * to the same numbers. string_split(text, ' ') keeps empty tokens — the
+    * engine's shared tokenization contract (TextExprs scaladoc). */
+  val qRepetition: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), cnt AS (
+      |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(c) AS INTEGER) AS n_tokens,
+      |    CAST(count(*) AS INTEGER) AS n_distinct,
+      |    CAST(max(c) AS INTEGER) AS top_freq
+      |  FROM cnt GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, top_freq,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+      |  CAST(top_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio
+      |FROM agg""".stripMargin
+
+  /** Mirrors CorpusOps.packSequences(documents, doc_id, text, 2048, 8):
+    * offset packing — bin = floor(tokens_before / budget), integer division
+    * written as the engine's pmod-subtract so both sides divide exact
+    * doubles. */
+  val qPackSequences: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    (doc_id * 2654435761) % 4294967296 AS scr,
+      |    CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard
+      |  FROM documents
+      |), cum AS (
+      |  SELECT shard, tok,
+      |    SUM(tok) OVER (PARTITION BY shard ORDER BY scr, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS before
+      |  FROM base
+      |)
+      |SELECT shard,
+      |  CAST((before - (before % 2048)) / 2048 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS bin_tokens
+      |FROM cum GROUP BY shard, bin""".stripMargin
 }

@@ -275,6 +275,23 @@ object SparkEntry {
       TextAnalysis.withTokenStats(Pipelines.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_seen"), col("n_stopwords"),
           col("stopword_ratio"), col("avg_token_len"))),
+    // — corpus shaping: caps / sampling / repetition / packing (CorpusOps) —
+    "q_group_cap" -> ((s, dir) =>
+      // per-group document cap (the per-domain/per-language cap of a web
+      // curation run); skew-aware: only over-cap groups enter the window
+      CorpusOps.capPerGroup(Pipelines.table(s, dir, "documents"),
+        "doc_id", "lang", cap = 100)),
+    "q_sample_stratified" -> ((s, dir) =>
+      // deterministic rate sampling per stratum: downsample the dominant
+      // language (en → 10%), halve zh, keep the rest — map-only on the scan
+      CorpusOps.stratifiedSample(Pipelines.table(s, dir, "documents"),
+        "doc_id", "lang", rates = Seq("zh" -> 500, "en" -> 100), defaultPermille = 1000)
+        .select(col("doc_id"), col("lang"))),
+    "q_repetition" -> ((s, dir) =>
+      CorpusOps.repetitionStats(Pipelines.table(s, dir, "documents"), "doc_id", "text")),
+    "q_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(Pipelines.table(s, dir, "documents"),
+        "doc_id", "text", budget = 2048L, nShards = 8)),
     "q_embed_similar" -> ((s, dir) =>
       Similarity.nearDupPairs(Pipelines.table(s, dir, "embeddings"),
         "vec_id", "embedding", blockCol = "label", threshold = 0.4)),
@@ -396,6 +413,10 @@ object SparkEntry {
     "q_corpus_curation" -> OracleSql.qCorpusCuration,
     "q_ann_batch" -> OracleSql.qAnnBatch,
     "q_ann_ivf_batch" -> OracleSql.qAnnIvfBatch,
-    "q_ann_lsh_batch" -> OracleSql.qAnnLshBatch
+    "q_ann_lsh_batch" -> OracleSql.qAnnLshBatch,
+    "q_group_cap" -> OracleSql.qGroupCap,
+    "q_sample_stratified" -> OracleSql.qSampleStratified,
+    "q_repetition" -> OracleSql.qRepetition,
+    "q_pack_sequences" -> OracleSql.qPackSequences
   )
 }

@@ -101,6 +101,48 @@ object TextExprs {
     langNames(best)
   }
 
+  /** Number of DISTINCT ' '-separated tokens (split keeps empties). */
+  def distinctTokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    val set = new java.util.HashSet[String]()
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == SP) {
+        set.add(str.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    set.size
+  }
+
+  /** Occurrence count of the most frequent ' '-token (the Gopher-style
+    * repetition signal: a high max-frequency token marks boilerplate /
+    * keyword-stuffed text). One pass, per-row hash map sized by distinct
+    * tokens of THIS row only — no shuffle, no explode. */
+  def topTokenFreq(s: UTF8String): Int = {
+    val str = s.toString
+    val m = new java.util.HashMap[String, Integer]()
+    val n = str.length
+    var best = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == SP) {
+        val t = str.substring(start, i)
+        val prev = m.get(t)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        m.put(t, Integer.valueOf(c))
+        if (c > best) best = c
+        start = i + 1
+      }
+      i += 1
+    }
+    best
+  }
+
   private val P: Long = 2147483647L // 2^31-1 Mersenne prime (minhash universe)
 
   /** MinHash signature: word-k-shingles (joined by ' ' = original substring
@@ -220,6 +262,9 @@ object TextExprs {
 
   // ── Column-level entry points ──────────────────────────────────────────
   def token_count(c: Column): Column = Bridge.column(TokenCount(Bridge.expression(c)))
+  def distinct_token_count(c: Column): Column =
+    Bridge.column(DistinctTokenCount(Bridge.expression(c)))
+  def top_token_freq(c: Column): Column = Bridge.column(TopTokenFreq(Bridge.expression(c)))
   def token_set_count(c: Column, words: Seq[String]): Column =
     Bridge.column(TokenSetCount(Bridge.expression(c), words))
   def lang_id(c: Column, markers: Seq[(String, Seq[String])]): Column =
@@ -259,6 +304,34 @@ case class TokenCount(child: Expression) extends UnaryExpression with ExpectsInp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.tokenCount($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenCount = copy(newChild)
+}
+
+/** size(array_distinct(split(text, ' '))) without materializing the array. */
+case class DistinctTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprs.distinctTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.distinctTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): DistinctTokenCount =
+    copy(newChild)
+}
+
+/** max per-token occurrence count (repetition signal) as one native pass —
+  * the explode→groupBy→max form would shuffle every token of the corpus. */
+case class TopTokenFreq(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprs.topTokenFreq(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.topTokenFreq($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopTokenFreq =
+    copy(newChild)
 }
 
 /** size(filter(split(text,' '), t -> t IN words)) as one native pass. */

@@ -130,9 +130,32 @@ class PlanAuditSpec extends SparkSpec {
       "q_ann_lsh_batch" -> ("same CosTopK bounded-heap aggregate (the bucket " +
         "projection is now the native codegen'd LshBucket)")
     )
-    def fallbacks(df: DataFrame): Seq[String] =
-      df.queryExecution.sparkPlan.flatMap(p => p.expressions.flatMap(e =>
-        e.collect { case f: CodegenFallback => f.getClass.getSimpleName }))
+    // The audit must see THROUGH InMemoryRelation: operators that persist an
+    // intermediate during construction (thresholdScan's eager histogram) get
+    // their upstream plan swapped for a cached scan by the CacheManager, and
+    // whether that swap happens depends on what ran before (the entry for
+    // q_threshold_scan flip-flopped needed/stale with test order). Walking
+    // the cachedPlan makes the sweep deterministic and audits the plan that
+    // actually produced the cached data.
+    def fallbacks(df: DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      // explicit recursion: AdaptiveSparkPlanExec / QueryStageExec /
+      // InMemoryTableScanExec all hide their real subtree from `children`
+      def walk(p: SparkPlan): Seq[String] = {
+        val here = p.expressions.flatMap(
+          _.collect { case f: CodegenFallback => f.getClass.getSimpleName })
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
+          case _ => p.children.flatMap(walk)
+        }
+        here ++ below
+      }
+      walk(df.queryExecution.sparkPlan)
+    }
     // self-check: a HOF aggregate is CodegenFallback (over a non-foldable
     // input — a literal would be constant-folded into a LocalRelation)
     import org.apache.spark.sql.functions._
