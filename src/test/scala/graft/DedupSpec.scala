@@ -160,9 +160,9 @@ class DedupSpec extends SparkSpec {
     val se = new org.apache.spark.sql.SparkSessionExtensions()
     ext(se) // must not throw; descriptors resolvable
     assert(GraftFunctions.descriptors.map(_._1.funcName).toSet ==
-      Set("tok_hash", "token_count", "simhash32", "doc_fingerprint",
-        "cosine_sim", "minhash_sig", "lang_id", "stopword_count", "cos_topk",
-        "lsh_bucket"))
+      Set("tok_hash", "token_count", "distinct_token_count", "top_token_freq",
+        "simhash32", "doc_fingerprint", "cosine_sim", "minhash_sig", "lang_id",
+        "stopword_count", "cos_topk", "lsh_bucket"))
     // lsh_bucket via SQL matches the Column API
     val lb = spark.sql(
       "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 42) AS b")
