@@ -1131,6 +1131,20 @@ object OracleSql {
       |  CAST(top_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio
       |FROM agg""".stripMargin
 
+  /** Mirrors Relational.hierarchicalRollup: every grain of the
+    * (user_id, event_type) hierarchy from one GROUP BY ROLLUP, grains
+    * disambiguated by the same grouping bitmask Spark's grouping_id emits. */
+  val qRollup: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+      |  FROM events
+      |)
+      |SELECT user_id, event_type,
+      |  CAST(GROUPING(user_id, event_type) AS INTEGER) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(value_c) AS BIGINT) AS value_sum
+      |FROM c GROUP BY ROLLUP(user_id, event_type)""".stripMargin
+
   /** Mirrors CorpusOps.packSequences(documents, doc_id, text, 2048, 8):
     * offset packing — bin = floor(tokens_before / budget), integer division
     * written as the engine's pmod-subtract so both sides divide exact

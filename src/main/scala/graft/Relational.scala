@@ -72,4 +72,20 @@ object Relational {
       .join(orders.filter(col("o_orderpriority") === priority),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Hierarchical multi-grain rollup in ONE aggregation: per (entity, type)
+    * → per entity → grand total, disambiguated by grouping_id. This is the
+    * north-star "tiered aggregate" shape (per-turn → per-conversation →
+    * global) done the Spark way: `rollup` expands each row to its grouping
+    * sets (Expand) and ONE map-side-combined HashAggregate produces every
+    * grain — versus the reference's one-pandas-groupby-per-tier
+    * (`mean_features.py` / `pre_dataset.py` re-scan per tier; at 100 TB,
+    * k separate jobs re-read the fact table k times). */
+  def hierarchicalRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("value_c", cents(col("value")))
+      .rollup(col("user_id"), col("event_type"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), sum(col("value_c")).as("value_sum"))
+      .select(col("user_id"), col("event_type"), col("gid"), col("n"), col("value_sum"))
 }

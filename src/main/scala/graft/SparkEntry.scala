@@ -194,6 +194,9 @@ object SparkEntry {
     "q_join_anti" -> ((s, dir) =>
       Relational.customersWithoutPriority(Pipelines.table(s, dir, "customer"),
         Pipelines.table(s, dir, "orders"), "1-URGENT")),
+    "q_rollup" -> ((s, dir) =>
+      // every grain of the per-entity/per-type hierarchy from ONE pass
+      Relational.hierarchicalRollup(Pipelines.table(s, dir, "events"))),
 
     // — evaluation-framework metrics over scored entities —
     "q_confusion" -> ((s, dir) => {
@@ -417,6 +420,7 @@ object SparkEntry {
     "q_group_cap" -> OracleSql.qGroupCap,
     "q_sample_stratified" -> OracleSql.qSampleStratified,
     "q_repetition" -> OracleSql.qRepetition,
-    "q_pack_sequences" -> OracleSql.qPackSequences
+    "q_pack_sequences" -> OracleSql.qPackSequences,
+    "q_rollup" -> OracleSql.qRollup
   )
 }

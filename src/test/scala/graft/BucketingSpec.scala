@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed co-located join: zero Exchange; plain parquet join: two") {
+    val base = java.nio.file.Files.createTempDirectory("bucketing").toString
+    val facts = (0L until 2000L).map(i => (i % 97, i, i * 3 % 1000)).toDF("user_id", "event_id", "v")
+    val dims = (0L until 97L).map(i => (i, s"seg${i % 5}")).toDF("user_id", "segment")
+    // same key, same bucket count on both sides — the co-location contract
+    Bucketing.writeBucketed(facts, "b_facts", s"$base/facts", "user_id", 8)
+    Bucketing.writeBucketed(dims, "b_dims", s"$base/dims", "user_id", 8)
+    // force a sort-merge join so the ONLY thing that can elide the shuffle
+    // is the bucket layout (a broadcast would trivially avoid it)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.enabled" -> "false") {
+      val joined = Bucketing.table(spark, "b_facts")
+        .join(Bucketing.table(spark, "b_dims"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$plan")
+      // control: identical join over PLAIN parquet shuffles both sides
+      facts.write.mode("overwrite").parquet(s"$base/plain_facts")
+      dims.write.mode("overwrite").parquet(s"$base/plain_dims")
+      val plainPlan = spark.read.parquet(s"$base/plain_facts")
+        .join(spark.read.parquet(s"$base/plain_dims"), "user_id")
+        .queryExecution.executedPlan.toString
+      assert(plainPlan.linesIterator.count(_.contains("Exchange")) >= 2,
+        s"control join should shuffle both sides:\n$plainPlan")
+      // and the bucketed join still computes the right answer
+      assert(joined.count() == 2000L)
+      val seg = joined.groupBy("segment").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(seg.values.sum == 2000L && seg.size == 5)
+    }
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+  }
+
+  test("bucketed groupBy on the bucket key aggregates without a shuffle") {
+    val base = java.nio.file.Files.createTempDirectory("bucketing_agg").toString
+    val facts = (0L until 2000L).map(i => (i % 53, i)).toDF("user_id", "event_id")
+    Bucketing.writeBucketed(facts, "b_agg", s"$base/t", "user_id", 8)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val agg = Bucketing.table(spark, "b_agg")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on the bucket key must not shuffle:\n$plan")
+      assert(agg.as[(Long, Long)].collect().toMap.values.sum == 2000L)
+    }
+    spark.sql("DROP TABLE IF EXISTS b_agg")
+  }
+}
