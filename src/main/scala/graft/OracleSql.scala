@@ -1145,6 +1145,20 @@ object OracleSql {
       |  CAST(sum(value_c) AS BIGINT) AS value_sum
       |FROM c GROUP BY ROLLUP(user_id, event_type)""".stripMargin
 
+  /** Mirrors RangeJoin.bandCounts(events, purchases, user_id, ts, 1800 s):
+    * the engine's bin-replicated equi-join is exactly this theta join —
+    * banding is a physical rewrite, not a semantic. */
+  val qRangeJoin: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT e.event_id,
+      |  CAST(count(*) AS BIGINT) AS n_in_band,
+      |  CAST(min(p.event_id) AS BIGINT) AS min_right_seq
+      |FROM events e JOIN p ON e.user_id = p.user_id
+      |  AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 1800000000
+      |GROUP BY e.event_id""".stripMargin
+
   /** Mirrors CorpusOps.packSequences(documents, doc_id, text, 2048, 8):
     * offset packing — bin = floor(tokens_before / budget), integer division
     * written as the engine's pmod-subtract so both sides divide exact

@@ -197,6 +197,15 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       // every grain of the per-entity/per-type hierarchy from ONE pass
       Relational.hierarchicalRollup(Pipelines.table(s, dir, "events"))),
+    "q_range_join" -> ((s, dir) => {
+      // temporal-context band join: events within ±30 min of a same-user
+      // purchase, via the bin-replicated equi-join (never |L_k|×|R_k|)
+      val events = Pipelines.table(s, dir, "events")
+      RangeJoin.bandCounts(events,
+        events.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", leftSeq = "event_id", rightSeq = "event_id",
+        widthSec = 1800L)
+    }),
 
     // — evaluation-framework metrics over scored entities —
     "q_confusion" -> ((s, dir) => {
@@ -421,6 +430,7 @@ object SparkEntry {
     "q_sample_stratified" -> OracleSql.qSampleStratified,
     "q_repetition" -> OracleSql.qRepetition,
     "q_pack_sequences" -> OracleSql.qPackSequences,
-    "q_rollup" -> OracleSql.qRollup
+    "q_rollup" -> OracleSql.qRollup,
+    "q_range_join" -> OracleSql.qRangeJoin
   )
 }
