@@ -1145,6 +1145,15 @@ object OracleSql {
       |  CAST(sum(value_c) AS BIGINT) AS value_sum
       |FROM c GROUP BY ROLLUP(user_id, event_type)""".stripMargin
 
+  /** Mirrors PivotCounts.melt over the entity count columns (the engine
+    * plans ONE Expand; the portable SQL form re-reads the CTE per column). */
+  val qUnpivot: String = {
+    val arms = quartet.map(q =>
+      s"SELECT user_id, '${q}_count' AS metric, ${q}_count AS value FROM entity")
+      .mkString("\n  UNION ALL ")
+    s"WITH $entityCte\n$arms"
+  }
+
   /** Mirrors RangeJoin.bandCounts(events, purchases, user_id, ts, 1800 s):
     * the engine's bin-replicated equi-join is exactly this theta join —
     * banding is a physical rewrite, not a semantic. */

@@ -197,6 +197,11 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       // every grain of the per-entity/per-type hierarchy from ONE pass
       Relational.hierarchicalRollup(Pipelines.table(s, dir, "events"))),
+    "q_unpivot" -> ((s, dir) =>
+      // wide -> long melt of the entity count columns (Expand, map-only —
+      // not the per-column UNION ALL rescan an SQL engine would run)
+      PivotCounts.melt(Pipelines.entity(s, dir), Seq("user_id"),
+        Pipelines.quartet.map(q => s"${q}_count"), "metric", "value")),
     "q_range_join" -> ((s, dir) => {
       // temporal-context band join: events within ±30 min of a same-user
       // purchase, via the bin-replicated equi-join (never |L_k|×|R_k|)
@@ -431,6 +436,7 @@ object SparkEntry {
     "q_repetition" -> OracleSql.qRepetition,
     "q_pack_sequences" -> OracleSql.qPackSequences,
     "q_rollup" -> OracleSql.qRollup,
-    "q_range_join" -> OracleSql.qRangeJoin
+    "q_range_join" -> OracleSql.qRangeJoin,
+    "q_unpivot" -> OracleSql.qUnpivot
   )
 }

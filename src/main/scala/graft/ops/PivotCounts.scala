@@ -36,4 +36,13 @@ object PivotCounts {
                 labelValue: String, labelName: String, suffix: String = "_count"): DataFrame =
     apply(df, keys, dim, values, suffix)
       .withColumn(labelName, when(col(s"$labelValue$suffix") > 0, 1).otherwise(0))
+
+  /** The inverse: wide → long (pandas `melt`). One row per (id, value
+    * column), the column NAME as `metricCol`. Spark's native `unpivot` plans
+    * an Expand — a map-only row multiplication, no shuffle, no per-column
+    * scan (the UNION-ALL form an SQL engine falls back to re-reads the
+    * input once per melted column). */
+  def melt(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+           metricCol: String, valueCol: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, metricCol, valueCol)
 }

@@ -99,6 +99,26 @@ class OpsSpec extends SparkSpec {
     assert(total == turns.count())
   }
 
+  test("melt inverts the pivot: every (key, metric, value) cell round-trips") {
+    val piv = PivotCounts(Windowize.withCalendarSlots(turns.toDF(), cols),
+      Seq("conv_id", "day_type"), "role", Turn.roles)
+    val metricCols = Turn.roles.map(r => s"${r}_count")
+    val long = PivotCounts.melt(piv, Seq("conv_id", "day_type"), metricCols, "metric", "value")
+    // row count: one long row per (wide row × melted column)
+    assert(long.count() == piv.count() * metricCols.size)
+    // cell-level round-trip
+    val cells = piv.collect().flatMap { r =>
+      metricCols.map(m => (r.getString(0), r.getString(1), m, r.getAs[Long](m)))
+    }.toSet
+    val got = long.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == cells)
+    // plan shape: ONE Expand, no union of per-column rescans
+    val plan = long.queryExecution.sparkPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand:\n$plan")
+    assert(!plan.contains("Union"), s"melt must not union per-column scans:\n$plan")
+  }
+
   test("input-permutation invariance of the slot pivot") {
     val shuffled = turns.toDF().orderBy(rand(99))
     val a = PivotCounts(Windowize.withCalendarSlots(turns.toDF(), cols),

@@ -120,7 +120,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_entity_features" -> pct, "q_interactions" -> pct, "q_stratified_folds" -> pct,
       "q_top_entities" -> pct, "q_variance_screen" -> pct, "q_iqr_clip" -> pct,
       "q_confusion" -> pct, "q_binary_metrics" -> pct, "q_calibration" -> pct,
-      "q_threshold_scan" -> pct, "q_impute" -> pct,
+      "q_threshold_scan" -> pct, "q_impute" -> pct, "q_unpivot" -> pct,
       "q_auc_pr" -> ("final collect_list/sort/fold over the distinct-score table " +
         "(bounded by averagePrecision's auto-quantize guard)"),
       "q_ann_batch" -> ("native CosTopK bounded-heap aggregate — O(k) state per " +

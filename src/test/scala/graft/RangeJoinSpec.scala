@@ -59,6 +59,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mega-entity skew: the (key, bin) join key re-spreads one key across bins") {
+    // one user, 5,000 events spread over ~58 days: a plain user_id join key
+    // would put every candidate pair in ONE task; the banded key has as many
+    // distinct values as occupied time bins
+    val mega = (0L until 5000L).map(i => (1L, ts(i * 1000), i)).toDF("user_id", "ts", "event_id")
+    val anchors = (0L until 50L).map(i => (1L, ts(i * 100000), 9000L + i)).toDF("user_id", "ts", "event_id")
+    val width = 1800L
+    val w = width * 1000000L
+    val occupiedBins = mega.select(
+        ((graft.ops.micros(col("ts")) - pmod(graft.ops.micros(col("ts")), lit(w))) / lit(w))
+          .cast("long").as("b"))
+      .distinct().count()
+    assert(occupiedBins > 100, s"fixture should span many bins, got $occupiedBins")
+    // correctness on the skewed fixture: banded == naive
+    val banded = RangeJoin.bandCounts(mega, anchors, "user_id", "ts",
+      "event_id", "event_id", width).as[(Long, Long, Long)].collect().toSet
+    val naive = mega.select(col("user_id").as("k"), col("ts").as("lt"), col("event_id").as("ls"))
+      .join(anchors.select(col("user_id").as("k2"), col("ts").as("rt"), col("event_id").as("rs")),
+        col("k") === col("k2") &&
+          abs(graft.ops.micros(col("lt")) - graft.ops.micros(col("rt"))) <= lit(w))
+      .groupBy(col("ls")).agg(count(lit(1)).as("n"), min(col("rs")).as("m"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == naive)
+  }
+
   test("banded plan is an equi-join — no nested-loop / cartesian fallback") {
     val plan = RangeJoin.bandCounts(left, right, "user_id", "ts",
       "event_id", "event_id", 1000L).queryExecution.sparkPlan.toString
