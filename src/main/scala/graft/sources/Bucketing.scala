@@ -33,4 +33,18 @@ object Bucketing {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Hive-style partitioned layout — the OTHER rest-layout axis. Choose by
+    * read pattern: `partitionBy` a low-cardinality column queries filter on
+    * (date, shard, event_type) so the reader PRUNES whole directories before
+    * any IO (`PartitionFilters` in the scan, vs `PushedFilters` which still
+    * opens files to read footers); `bucketBy` the high-cardinality JOIN key.
+    * The two compose — partition by day, bucket by entity within each day —
+    * which is exactly the 10^12-turn transcript layout: backfill runs prune
+    * to the partition range they own and join entity-bucketed without a
+    * shuffle. Keep partition cardinality bounded (≤ ~10^4 directories):
+    * partitioning by a high-cardinality key explodes the file count and
+    * kills listing/planning long before query time. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 }

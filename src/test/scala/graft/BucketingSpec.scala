@@ -53,6 +53,29 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_dims")
   }
 
+  test("partitioned layout: the reader prunes directories via PartitionFilters") {
+    val base = java.nio.file.Files.createTempDirectory("partitioned").toString
+    val events = (0L until 3000L)
+      .map(i => (i, Seq("view", "click", "purchase")(i.toInt % 3), i % 17))
+      .toDF("event_id", "event_type", "user_id")
+    Bucketing.writePartitioned(events, s"$base/events", Seq("event_type"))
+    val read = spark.read.parquet(s"$base/events")
+      .filter(col("event_type") === "purchase")
+    val plan = read.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning before
+    // any file IO), not merely PushedFilters (per-file footer evaluation)
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"partition predicate did not prune directories:\n$plan")
+    assert(read.count() == 1000L)
+    // a shard-partitioned curation-style write round-trips with shard intact
+    val curated = (0L until 100L).map(i => (i, i % 8)).toDF("doc_id", "shard")
+    Bucketing.writePartitioned(curated, s"$base/curated", Seq("shard"))
+    val one = spark.read.parquet(s"$base/curated").filter(col("shard") === 3)
+    assert(one.select("doc_id").as[Long].collect().toSet ==
+      (0L until 100L).filter(_ % 8 == 3).toSet)
+  }
+
   test("bucketed groupBy on the bucket key aggregates without a shuffle") {
     val base = java.nio.file.Files.createTempDirectory("bucketing_agg").toString
     val facts = (0L until 2000L).map(i => (i % 53, i)).toDF("user_id", "event_id")
