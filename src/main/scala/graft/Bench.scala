@@ -143,8 +143,12 @@ object Bench {
       System.err.println(f"[bench] $name pass=$pass t=$t%.2f at=${(w0 - jvmT0) / 1e9}%.1f")
       // reset retained storage after every rep so no rep ever times against
       // another query's (or its own earlier rep's) caches — every measurement
-      // starts from the clean-session state a fresh JVM would give
-      resetStorage(cur)
+      // starts from the clean-session state a fresh JVM would give. If the
+      // failed query took the shared SparkContext down with it, recreate the
+      // session instead of letting the reset's IllegalStateException abort
+      // the whole bench (the remaining queries' numbers still get written)
+      try resetStorage(cur)
+      catch { case _: Throwable if cur.sparkContext.isStopped => cur = session(cpus) }
       t
     }
     // The two reps of a query run in two SEPARATED full passes, not

@@ -143,7 +143,7 @@ object CosTopK {
 
     /** (ca, ia) is worse than (cb, ib) under the keep-order (score, -id). */
     def worse(ca: Double, ia: Long, cb: Double, ib: Long): Boolean =
-      lessScore(ca, cb) || (!lessScore(ca, cb) && !lessScore(cb, ca) && ia > ib)
+      lessScore(ca, cb) || (!lessScore(cb, ca) && ia > ib)
   }
 
   def cos_topk(score: Column, id: Column, k: Int): Column =

@@ -78,9 +78,13 @@ object QuantLR {
     val mmAggs = features.flatMap(f =>
       Seq(min(col(f)).cast("long"), max(col(f)).cast("long")))
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
-    // min() over an empty (or all-null) input is null — fail here with the
-    // friendly message rather than an opaque NPE from getLong below
-    require(!mm.isNullAt(0), "QuantLR.fit: empty input")
+    // min() over an empty input — or an all-null feature COLUMN in a
+    // non-empty input — is null; check every feature's min slot and fail
+    // with the friendly message rather than an opaque NPE from getLong below
+    features.indices.foreach { i =>
+      require(!mm.isNullAt(2 * i),
+        s"QuantLR.fit: empty input or all-null feature '${features(i)}'")
+    }
     val zCols = features.indices.map { i =>
       val mn = mm.getLong(2 * i)
       val mx = mm.getLong(2 * i + 1)

@@ -30,28 +30,44 @@ object CorpusOps {
     * Scale shape: the naive form is one rank window over EVERY row — at web
     * scale that sorts the whole corpus to discard work for the (typical)
     * long tail of under-cap groups. This splits the work: a map-side-combined
-    * count finds the over-cap groups (at most N/cap of them, so the set is
-    * broadcastable by construction), under-cap rows pass through with a
-    * broadcast anti join (no sort, no shuffle of the fact side), and only
+    * count finds the over-cap groups (at most N/cap of them), under-cap rows
+    * pass through with an anti join against that set (no sort), and only
     * over-cap groups' rows enter the rank window. The dominant cost becomes
     * proportional to the rows of over-represented groups — exactly the rows
     * the cap is about.
+    *
+    * `broadcastOverSet = true` (default) hints both joins broadcast, which
+    * keeps the fact side entirely shuffle-free — correct while the over-cap
+    * group set fits an executor (N/cap is the bound: fine for per-domain
+    * caps in the 10^4+ range, NOT for cap=100 at 10^12 rows, where N/cap is
+    * 10^10). Pass `false` beyond that bound: the joins fall back to plain
+    * equi-joins (AQE still elects broadcast when the set turns out small),
+    * trading one fact-side shuffle for an unbounded build side.
     */
-  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, cap: Int): DataFrame = {
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, cap: Int,
+      broadcastOverSet: Boolean = true): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val over = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap).select(col(groupCol))
+    val over0 = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(col(groupCol).as("__og"))
+    val over = if (broadcastOverSet) broadcast(over0) else over0
     val keep = df.select(col(idCol), col(groupCol))
-    val under = keep.join(broadcast(over), Seq(groupCol), "left_anti")
+    // NULL is a group too (PARTITION BY groups NULLs together), so the
+    // routing joins must be null-safe: a plain equi-join would send every
+    // null-key row down the pass-through branch uncapped
+    val cond = col(groupCol) <=> col("__og")
+    val under = keep.join(over, cond, "left_anti")
     val w = Window.partitionBy(col(groupCol)).orderBy(scramble(idCol), col(idCol))
-    val capped = keep.join(broadcast(over), Seq(groupCol))
+    val capped = keep.join(over, cond).drop("__og")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk")
     under.unionByName(capped).select(col(idCol), col(groupCol))
   }
 
   /** Deterministic per-stratum rate sampling: keep a row iff
-    * `scramble(id) mod 1000 < permille(stratum)`. Map-only — the filter sits
+    * `(id * 2654435761) mod 1000 < permille(stratum)` (the Knuth multiply
+    * WITHOUT the mod-2^32 reduction — 1000 ∤ 2^32, so reducing first would
+    * change the kept set; the DuckDB oracle computes the same direct form).
+    * Map-only — the filter sits
     * directly on the scan (no shuffle, no state), which is what makes rate
     * sampling the first stage of any 100 TB curation run. `rates` lists the
     * non-default strata (bounded, e.g. languages — the chained CASE stays

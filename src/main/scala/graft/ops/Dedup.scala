@@ -216,7 +216,12 @@ object Dedup {
       }
       val rdd = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (reliable) rdd.checkpoint()
-      rdd.count() // the round's ONE job: persist + checkpoint + change count
+      // the round's ONE job: persist + checkpoint + change count. If it
+      // fails partway, some tasks may already have cached their partitions —
+      // drop them before rethrowing so a failed round leaks nothing (the
+      // caller's finally only knows about COMPLETED rounds' RDDs)
+      try rdd.count()
+      catch { case t: Throwable => rdd.unpersist(blocking = false); throw t }
       (rdd, acc.value,
         org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, df.schema))
     }

@@ -101,9 +101,11 @@ object Metrics {
     * quantizeBins` re-aggregation OF THE CACHED HISTOGRAM (bounded output,
     * no second input scan); quantized F1 is an approximation (each score
     * snaps down to its grid point before the >= comparison). Net: ONE full
-    * input pass where round 4 paid two. The histogram persist is registered
+    * input pass where round 4 paid two. What stays persisted (registered
     * with `scope` — released by Bench between reps / callers that manage
-    * lifetimes. EAGER: the count job runs at construction. */
+    * lifetimes) is always BOUNDED: max(maxDistinctScores, quantizeBins+1)
+    * rows — the input-sized exact histogram is cached only transiently
+    * during construction. EAGER: the count job(s) run at construction. */
   def thresholdScan(df: DataFrame, label: String, score: String,
                     thresholds: Seq[Double],
                     maxDistinctScores: Long = 1L << 20,
@@ -112,12 +114,29 @@ object Metrics {
     val spark = df.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("threshold")
-    val g = scope.retain(scoreHistogram(df, label, score).persist())
-    val distinct = g.count()
+    // The exact histogram is |distinct scores|-sized — input-sized for
+    // continuous doubles, i.e. exactly the table the guard exists to keep
+    // bounded. It is persisted only TRANSIENTLY (count + at most one bounded
+    // re-aggregation read it, then it is dropped); what stays retained in
+    // `scope` is always bounded: either the exact histogram when it proved
+    // ≤ maxDistinctScores rows, or the ≤ quantizeBins+1-row quantized
+    // re-aggregation. Net cost is unchanged (ONE full input pass); the
+    // input-sized cache no longer outlives construction.
+    val g = scoreHistogram(df, label, score).persist()
     val hist =
-      if (distinct <= maxDistinctScores) g
-      else g.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
-        .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
+      try {
+        val distinct = g.count()
+        if (distinct <= maxDistinctScores) scope.retain(g)
+        else {
+          val q = scope.retain(
+            g.groupBy((floor(col("__s") * quantizeBins) / quantizeBins).as("__s"))
+              .agg(sum(col("__n")).as("__n"), sum(col("__p")).as("__p"))
+              .persist())
+          q.count() // materialize FROM the exact cache before dropping it
+          g.unpersist(blocking = false)
+          q
+        }
+      } catch { case t: Throwable => g.unpersist(blocking = false); throw t }
     hist
       .withColumn("__gn", col("__n") - col("__p"))
       .crossJoin(broadcast(th))

@@ -36,6 +36,28 @@ class CorpusOpsSpec extends SparkSpec {
     val twoPhase = CorpusOps.capPerGroup(grouped, "id", "grp", cap = 10)
       .as[(Long, String)].collect().toSet
     assert(twoPhase == plain)
+    // the shuffle-join fallback (over-cap set too big to broadcast) is the
+    // same semantic
+    val noBcast = CorpusOps.capPerGroup(grouped, "id", "grp", cap = 10,
+      broadcastOverSet = false).as[(Long, String)].collect().toSet
+    assert(noBcast == plain)
+  }
+
+  test("capPerGroup caps the NULL group like any other (PARTITION BY semantics)") {
+    // 15 null-group rows + the 3 named groups; cap=10 must cap BOTH the
+    // null group and "big" — a plain equi-join routing would let every
+    // null-key row bypass the cap through the anti-join pass-through
+    val withNulls = grouped.unionByName(
+      (300L until 315L).map(i => (i, null: String)).toDF("id", "grp"))
+    val got = CorpusOps.capPerGroup(withNulls, "id", "grp", cap = 10)
+      .as[(Long, Option[String])].collect().toSet
+    val expectNull = (300L until 315L).sortBy(i => (scramble(i), i)).take(10)
+      .map(i => (i, None: Option[String])).toSet
+    val expectBig = (0L until 40L).sortBy(i => (scramble(i), i)).take(10)
+      .map(i => (i, Option("big"))).toSet
+    val expectRest = ((100L until 110L).map(i => (i, Option("mid"))) ++
+      Seq((200L, Option("tiny")), (201L, Option("tiny")))).toSet
+    assert(got == expectNull ++ expectBig ++ expectRest)
   }
 
   test("capPerGroup is partition-invariant") {

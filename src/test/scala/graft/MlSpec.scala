@@ -226,6 +226,14 @@ class MlSpec extends SparkSpec {
       graft.ml.QuantLR.fit(empty, Seq("f"), "y")
     }
     assert(e2.getMessage.contains("empty input"), e2.getMessage)
+    // non-empty input whose SECOND feature column is all-null: the guard
+    // must check every feature's min slot, not just feature 0's
+    val nullCol = Seq((1L, 1L, Option.empty[Long], 1), (2L, 2L, Option.empty[Long], 0))
+      .toDF("id", "f1", "f2", "y")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ml.QuantLR.fit(nullCol, Seq("f1", "f2"), "y")
+    }
+    assert(e3.getMessage.contains("all-null feature 'f2'"), e3.getMessage)
     // the documented constant agrees with the enforced bound
     assert(graft.ml.QuantLR.MaxRows ==
       graft.ml.QuantLR.maxRowsFor(graft.ml.QuantLR.QuantScale))
