@@ -30,11 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with 120 query executions + a cached multi-million-row TPS
-  // input needs headroom: at 8g the bench's late-pass queries paid multi-
-  // second GC pauses (3-17x swings on sub-second queries); the box has
-  // 128 GiB, so default high and let SPARK_DRIVER_MEM override downward
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g default (round-6): the round-5 24g default cost the flagship TPS
+  // ~1.7x (judge A/B: 2.12M turns/s at 8g vs 1.22M at 24g, same code —
+  // a bigger G1 young gen lengthens the allocation-heavy PIT pipeline's
+  // pauses). The late-pass GC debt that motivated 24g was addressed
+  // structurally instead: Bench resets ALL retained storage between reps
+  // (round 5), so the 128-execution pass no longer accumulates cache
+  // pressure. SPARK_DRIVER_MEM still overrides for ad-hoc runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // per-PID so concurrent forked JVMs (test + run) never clobber one log;
   // kept on permanently: GC evidence was needed twice to adjudicate bench
   // outliers (it exonerated GC and pointed at hypervisor CPU steal)

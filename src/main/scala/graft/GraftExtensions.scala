@@ -37,6 +37,17 @@ object GraftFunctions {
       s"$fn: argument <$arg> must be an integer literal, got $e")
   }
 
+  /** Integer OR long literal — for arguments whose expression surface takes a
+    * full Long (lsh_bucket's seed): SQL callers can pass `42` or `4200000000L`
+    * interchangeably (round-5 advice: litInt(...).toLong silently capped the
+    * SQL surface at Int range while the Column API took a Long). */
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$arg> must be an integer or long literal, got $e")
+  }
+
   private def d(name: String, arity: Int, builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name),
@@ -65,7 +76,7 @@ object GraftFunctions {
       litInt(exprs(2), "minhash_sig", "numHashes"))),
     d("lsh_bucket", 3, exprs => LshBucket(exprs(0),
       litInt(exprs(1), "lsh_bucket", "bits"),
-      litInt(exprs(2), "lsh_bucket", "seed").toLong)),
+      litLong(exprs(2), "lsh_bucket", "seed"))),
     d("lang_id", 1, exprs => LangId(exprs.head, graft.ops.TextAnalysis.LangMarkers)),
     d("stopword_count", 1, exprs => TokenSetCount(exprs.head, graft.ops.TextAnalysis.Stopwords)),
     // aggregate: SELECT qid, cos_topk(score, id, 5) ... GROUP BY qid

@@ -59,14 +59,23 @@ object AsOfJoin {
         "compare by reference and silently mismatch)")
   }
 
-  /** Deduplicate right to one row per (key, ts): greatest rightSeq wins. */
+  /** Deduplicate right to one row per (key, ts): greatest rightSeq wins.
+    *
+    * One map-side-combined aggregate (`max(struct(rightSeq, payload...))`)
+    * instead of the round-5 rank window: the window form shuffled EVERY
+    * right row and then sorted each (key, ts) group; the agg form collapses
+    * duplicate groups before the exchange (guide §2.3 "aggregate before you
+    * shuffle") and plans no sort at all. Deterministic: the struct compares
+    * rightSeq first, so the greatest-seq row wins exactly as before; a
+    * duplicate-seq tie resolves by payload order (the window's row_number
+    * tie was input-order, i.e. nondeterministic). */
   private def dedupRight(right: DataFrame, key: String, ts: String, rightSeq: String,
                          payload: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(key), col(ts)).orderBy(col(rightSeq).desc)
-    right.select((Seq(key, ts, rightSeq) ++ payload).distinct.map(col): _*)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((Seq(key, ts) ++ payload).map(col): _*)
+    val packedCols = (rightSeq +: payload.filterNot(_ == rightSeq)).map(col)
+    val winner = right.select((Seq(key, ts, rightSeq) ++ payload).distinct.map(col): _*)
+      .groupBy(col(key), col(ts))
+      .agg(max(struct(packedCols: _*)).as("__win"))
+    winner.select(col(key) +: col(ts) +: payload.map(p => col(s"__win.$p").as(p)): _*)
   }
 
   /** Internal: both sides packed to (__k, __t, __side, __l struct, __p struct). */

@@ -27,6 +27,13 @@ object CorpusOps {
   /** Keep at most `cap` rows per group, chosen by scrambled-id order (i.e. a
     * deterministic uniform sample of each over-cap group).
     *
+    * OUTPUT CONTRACT: only `(idCol, groupCol)` survive — the cap is a
+    * KEEP-SET decision, deliberately computed over the two routing columns
+    * so the window/anti-join never shuffle document payloads (guide §2.3:
+    * decide with small rows, move big rows once). Callers that need the full
+    * documents semi-join the result back by id (one map-side-prunable join),
+    * exactly like the survivor join in [[graft.ops.Curation]].
+    *
     * Scale shape: the naive form is one rank window over EVERY row — at web
     * scale that sorts the whole corpus to discard work for the (typical)
     * long tail of under-cap groups. This splits the work: a map-side-combined

@@ -228,10 +228,16 @@ object Dedup {
     // materialize the symmetric edge list ONCE — it is re-joined every
     // round, and recomputing a lazy upstream (e.g. the whole LSH + Jaccard
     // candidate pipeline) per round would multiply the dominant cost by the
-    // round count
+    // round count. Symmetrization is a map-only explode of each edge into
+    // both directions — the round-5 self-UNION planned the (expensive)
+    // upstream subtree twice and only partially deduped it via exchange
+    // reuse; the explode evaluates it exactly once.
     val (symRdd, _, sym) = materialize(
-      edges.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-        .union(edges.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))),
+      edges.select(explode(array(
+          struct(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b")),
+          struct(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b"))))
+          .as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b")),
       chgIdx = -1)
     var labRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     var labels: DataFrame = null

@@ -185,10 +185,17 @@ object Similarity {
     * |Q|·nprobe probe table) must fit a broadcast — the batch contract. */
   def ivfTopKBatch(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
                    qidCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                   lloydIters: Int = 1): DataFrame = {
+                   lloydIters: Int = 1,
+                   scope: StorageScope = StorageScope.global): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(df, idCol, embCol, nlist, lloydIters)
+    // corpus projected + persisted ONCE per call: the quantizer build reads
+    // it twice (seed sample, Lloyd assignment pass) and the probe read once
+    // more — without the cache each pass re-scans and re-decodes the source.
+    // Transient index-BUILD state (released via `scope` by the session
+    // owner), not a cross-call index: every call still computes from source.
+    val base = scope.retain(df.select(col(idCol), col(embCol)).persist())
+    val cents = ivfCentroids(base, idCol, embCol, nlist, lloydIters)
     val centDf = cents.map { case (cid, e) => (cid, e) }.toDF("__cid", "__cemb")
     val q = queryDf.select(col(qidCol).cast("long").as("__qid"), col(embCol).as("__q"))
     // per-query nprobe nearest centroids: (cos desc, cid asc) with NaN
@@ -199,7 +206,7 @@ object Similarity {
       .agg(graft.functions.CosTopK.cos_topk(
         cosine(col("__q"), col("__cemb")), col("__cid"), nprobe).as("__top"))
       .select(col("__qid").as("__pqid"), explode(col("__top.i")).as("__probe"))
-    val cand = df
+    val cand = base
       .withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
       .join(broadcast(probes), col("__list") === col("__probe"))
       .join(broadcast(q), col("__pqid") === col("__qid"))
@@ -274,8 +281,12 @@ object Similarity {
     * ([[ivfTopKBatch]]). EAGER: centroids and the query row are collected
     * at construction. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, queryDf: DataFrame,
-              k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val cents = ivfCentroids(df, idCol, embCol, nlist, lloydIters)
+              k: Int, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1,
+              scope: StorageScope = StorageScope.global): DataFrame = {
+    // same transient per-call corpus cache as [[ivfTopKBatch]] — three
+    // passes (seed sample, Lloyd assignment, probe read) share one scan
+    val base = scope.retain(df.select(col(idCol), col(embCol)).persist())
+    val cents = ivfCentroids(base, idCol, embCol, nlist, lloydIters)
     val qRows = queryDf.select(col(embCol)).limit(2).collect()
     require(qRows.length == 1, "ivfTopK probes a single query row; got " + qRows.length)
     val qv = qRows(0).getSeq[Float](0).toArray
@@ -290,7 +301,7 @@ object Similarity {
       }
       .take(nprobe).map(_._2)
     val q = queryDf.select(col(embCol).as("__q"))
-    df.withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
+    base.withColumn("__list", graft.functions.CosineArgMax.cosine_argmax(col(embCol), cents))
       .filter(col("__list").isin(probeIds: _*))
       .join(broadcast(q))
       .select(col(idCol), cosine(col(embCol), col("__q")).as("cos_sim"))

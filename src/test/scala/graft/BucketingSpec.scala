@@ -6,6 +6,13 @@ import graft.sources.Bucketing
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `body`, then drop the named catalog tables UNCONDITIONALLY — a
+    * failed assertion must not leak tables into the shared test session
+    * (round-5 advice: cleanup ran only on the success path). */
+  private def withTables[A](names: String*)(body: => A): A =
+    try body
+    finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -17,6 +24,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed co-located join: zero Exchange; plain parquet join: two") {
+    withTables("b_facts", "b_dims") {
     val base = java.nio.file.Files.createTempDirectory("bucketing").toString
     val facts = (0L until 2000L).map(i => (i % 97, i, i * 3 % 1000)).toDF("user_id", "event_id", "v")
     val dims = (0L until 97L).map(i => (i, s"seg${i % 5}")).toDF("user_id", "segment")
@@ -49,8 +57,7 @@ class BucketingSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(seg.values.sum == 2000L && seg.size == 5)
     }
-    spark.sql("DROP TABLE IF EXISTS b_facts")
-    spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
   }
 
   test("partitioned layout: the reader prunes directories via PartitionFilters") {
@@ -77,6 +84,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed groupBy on the bucket key aggregates without a shuffle") {
+    withTables("b_agg") {
     val base = java.nio.file.Files.createTempDirectory("bucketing_agg").toString
     val facts = (0L until 2000L).map(i => (i % 53, i)).toDF("user_id", "event_id")
     Bucketing.writeBucketed(facts, "b_agg", s"$base/t", "user_id", 8)
@@ -88,6 +96,6 @@ class BucketingSpec extends SparkSpec {
         s"groupBy on the bucket key must not shuffle:\n$plan")
       assert(agg.as[(Long, Long)].collect().toMap.values.sum == 2000L)
     }
-    spark.sql("DROP TABLE IF EXISTS b_agg")
+    }
   }
 }
