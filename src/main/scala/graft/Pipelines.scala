@@ -40,34 +40,25 @@ object Pipelines {
       labelValue = "purchase", labelName = "purchase_yn")
   }
 
-  /** [[slots]] persisted and scope-retained — for callers whose plan
-    * consumes the slot table more than once (slotsCleaned's threshold agg +
-    * main branch, iqrClip's quantile agg + clip branch). The cache fills
-    * lazily on first consumption; the session owner releases it via the
-    * scope (Bench does between reps). */
-  def slotsCached(spark: SparkSession, dir: String,
-                  scope: StorageScope = StorageScope.global): DataFrame =
-    scope.retain(slots(spark, dir).persist())
-
   /** T2 — bot filter: drop slots with (view_count > P99 ∧ no purchase) or
     * (purchase_count > P99 ∧ view_count < 5) (`miss_data.py:7-19`).
     * Exact percentile (pandas-compatible linear interpolation), computed in
     * one tiny agg and broadcast back — no second scan of the fact table
     * beyond the re-read Catalyst plans (slots is cheap to recompute or
     * cacheable by the caller at scale). */
-  def slotsCleaned(spark: SparkSession, dir: String, approxAccuracy: Int = 0,
-                   scope: StorageScope = StorageScope.global): DataFrame = {
-    // The slot table is consumed TWICE in this method (the percentile agg
-    // that builds the broadcast thresholds, and the flagged main branch), so
-    // without a cache the fact scan + pivot shuffle run twice per call
-    // (round-6 measured ~0.2 s per duplicate compute at sf0.1, multiplied
-    // across every downstream query: entity, entityFeatures, all 7 scored
-    // metrics). The slot grain is |entities × 8| rows — already aggregated,
-    // orders of magnitude below the fact table — so persisting it is the
-    // right trade at ANY scale (guide §5: reuse > recompute). Retained via
-    // `scope` (released by Bench between reps / session owners); the cache
-    // fills during the threshold broadcast build, no extra eager job.
-    val s = slotsCached(spark, dir, scope)
+  def slotsCleaned(spark: SparkSession, dir: String, approxAccuracy: Int = 0): DataFrame = {
+    // NOTE (round-6, measured): persisting `s` here looks like the obvious
+    // fix for the two consumptions below (threshold agg + main branch) but
+    // is a measured REGRESSION (~2× on q_entity/q_entity_features at
+    // sf0.1): the cache forces a FULL materialization of the slot table for
+    // the threshold side, where the un-cached plan lets Catalyst prune the
+    // threshold branch's pivot down to the two percentile columns — the
+    // "duplicate" compute is really one full + one column-pruned pass, both
+    // fused end-to-end in whole-stage codegen, which beats columnar cache
+    // write+read at every scale where the fact scan is not the bottleneck.
+    // At 100 TB the caller that fans out MANY consumers should cache the
+    // CLEANED output (bounded, entity×8 rows), not the pivot input.
+    val s = slots(spark, dir)
     // approxAccuracy > 0: approx_percentile sketch for the 10^12-row regime
     // (bounded memory; rank error ≤ n/accuracy) — the exact default is the
     // oracle-checked reference-parity path (SURVEY §7.5)

@@ -121,9 +121,7 @@ object SparkEntry {
 
     // — statistical cleaning / screening / encoding —
     "q_iqr_clip" -> ((s, dir) =>
-      // cached slots: iqrClip consumes its input twice (quantile agg + clip
-      // branch) — the persisted slot grain makes that one pivot pass, not two
-      StatOps.iqrClip(Pipelines.slotsCached(s, dir), Pipelines.quartet.map(q => s"${q}_count"))),
+      StatOps.iqrClip(Pipelines.slots(s, dir), Pipelines.quartet.map(q => s"${q}_count"))),
     "q_variance_screen" -> ((s, dir) =>
       StatOps.varianceScreen(Pipelines.entity(s, dir), Pipelines.quartet.map(q => s"${q}_count"))),
     "q_label_encode" -> ((s, dir) =>
