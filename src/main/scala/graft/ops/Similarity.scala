@@ -286,8 +286,13 @@ object Similarity {
     // same transient per-call corpus cache as [[ivfTopKBatch]] — three
     // passes (seed sample, Lloyd assignment, probe read) share one scan
     val base = scope.retain(df.select(col(idCol), col(embCol)).persist())
+    // the query-row fetch is independent of the quantizer build — overlap
+    // the two jobs (guide §2.6) instead of paying their latencies in series
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qFut = Future { queryDf.select(col(embCol)).limit(2).collect() }
     val cents = ivfCentroids(base, idCol, embCol, nlist, lloydIters)
-    val qRows = queryDf.select(col(embCol)).limit(2).collect()
+    val qRows = Await.result(qFut, scala.concurrent.duration.Duration.Inf)
     require(qRows.length == 1, "ivfTopK probes a single query row; got " + qRows.length)
     val qv = qRows(0).getSeq[Float](0).toArray
     // (cos desc, cid asc) with NaN sorting greatest — the oracle's
